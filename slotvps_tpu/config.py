@@ -1,0 +1,263 @@
+"""Typed configuration for the whole framework.
+
+Collapses the reference's three config mechanisms — mmcv python configs
+(reference configs/cityscapes/r50_fpn_slotvps.py), the legacy UPSNet
+EasyDict+YAML singleton (reference tools/config/config.py:20-176,
+configs/cityscapes/test_cityscapes_1gpu.yaml), and per-tool argparse — into
+one tree of frozen dataclasses.  Knob names follow the reference so that a
+reference user can map their settings 1:1.
+
+Everything is hashable so configs can be passed as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def _frozen(cls):
+    return dataclasses.dataclass(frozen=True)(cls)
+
+
+@_frozen
+class ResNetConfig:
+    """ResNet backbone (reference mmdet/models/backbones/resnet.py:338).
+
+    ``norm_eval=True`` + ``frozen_stages=1`` in the reference mean all batch
+    norms run with checkpoint statistics at test time; we fold them into
+    per-channel scale/bias (see models/resnet.py).
+    """
+
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    # 'pytorch' style: stride-2 lives on the 3x3 conv of each bottleneck
+    # (reference resnet.py Bottleneck, style='pytorch').
+    style: str = "pytorch"
+
+
+@_frozen
+class SwinConfig:
+    """Swin Transformer backbone (reference
+    mmdet/models/backbones/swin_transformer.py:449; Swin-L settings from
+    configs/cityscapes/swinL_fpn_slotvps.py:6-20)."""
+
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    patch_size: int = 4
+    ape: bool = False
+    patch_norm: bool = True
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # drop-path only matters for training.
+    drop_path_rate: float = 0.5
+
+
+@_frozen
+class FPNConfig:
+    """FPN neck (reference mmdet/models/necks/fpn.py:11)."""
+
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+
+
+@_frozen
+class SemanticHeadConfig:
+    """UPSNet-style FPN semantic head (reference
+    mmdet/models/panoptic/upsnetFPN.py:11): a shared 3x(DCN+GN32+ReLU) tower
+    applied to P2..P5, concat at 1/4 scale -> 1x1 conv -> num_classes logits,
+    then x4 bilinear upsample (align_corners=True)."""
+
+    in_channels: int = 256
+    out_channels: int = 128
+    num_levels: int = 4
+    num_things_classes: int = 8
+    num_classes: int = 19
+    ignore_label: int = 255
+    loss_weight: float = 0.5
+    gn_groups: int = 32
+    # 'jax' = pure-XLA gather implementation, 'pallas' = TPU kernel.
+    dcn_impl: str = "jax"
+
+
+@_frozen
+class TemporalQueryAttentionConfig:
+    """Video Retriever (reference TemporalSlotsHead,
+    mmdet/models/detectors/dynamic_mask_head.py:465)."""
+
+    d_model: int = 256
+    dim_feedforward: int = 1024
+    activation: str = "relu"
+    softmax_dim: str = "slots"
+
+
+@_frozen
+class SlotHeadConfig:
+    """Panoptic Retriever stack (reference MultiScaleDynamicMaskHead,
+    mmdet/models/detectors/dynamic_mask_head.py:36)."""
+
+    dh_dim: int = 256
+    num_classes: int = 20  # 11 stuff + 8 things + 1 no-object
+    dim_feedforward: int = 2048
+    nhead: int = 8
+    activation: str = "gelu"
+    dh_num_heads: int = 7
+    per_dh_num_heads: Tuple[int, ...] = (1, 2, 2, 2)
+    feat_num_levels: int = 4
+    merge_operation: str = "concat"
+    trans_in_dim: int = 384
+    use_focal: bool = True
+    prior_prob: float = 0.01
+    num_cls: int = 2
+    num_reg: int = 2
+    softmax_dim: str = "slots"
+    temporal_query_attention: Optional[TemporalQueryAttentionConfig] = (
+        TemporalQueryAttentionConfig()
+    )
+    apply_temporal_query_atten_stages: Tuple[int, ...] = (3, 4, 5, 6)
+    # 'jax' = plain einsum slot attention; 'pallas' = blockwise TPU kernel.
+    retriever_impl: str = "jax"
+
+
+@_frozen
+class TrackHeadConfig:
+    """SimpleTrackHead (reference
+    mmdet/models/detectors/simple_track_head.py:21)."""
+
+    num_fcs_query: int = 2
+    in_channels_query: int = 256
+    query_matched_weight: float = 1.0
+
+
+@_frozen
+class PostprocessConfig:
+    """Panoptic post-processing (reference PostProcessPanopticInstances,
+    mmdet/models/detectors/vps_temporal_slots.py:528; values from
+    configs/cityscapes/r50_fpn_slotvps.py:66-74)."""
+
+    threshold: float = 0.85
+    fraction_threshold: float = 0.03
+    pixel_threshold: float = 0.4
+    apply_mask_removal: bool = True
+    apply_mask_removal_only_ins: bool = True
+    use_mask_low_constant: bool = False
+    filter_small_option: str = "4"  # '4' | '4_256' | '4096_256'
+    num_classes: int = 20
+    num_stuff: int = 11
+
+
+@_frozen
+class ModelConfig:
+    """Top-level model (reference VPS_Temporal_Slots,
+    mmdet/models/detectors/vps_temporal_slots.py:39)."""
+
+    backbone: str = "resnet"  # 'resnet' | 'swin'
+    resnet: ResNetConfig = ResNetConfig()
+    swin: SwinConfig = SwinConfig()
+    fpn: FPNConfig = FPNConfig()
+    semantic_head: SemanticHeadConfig = SemanticHeadConfig()
+    slot_head: SlotHeadConfig = SlotHeadConfig()
+    track_head: TrackHeadConfig = TrackHeadConfig()
+    postprocess: PostprocessConfig = PostprocessConfig()
+    # reference other_config (r50_fpn_slotvps.py:97-106)
+    proposal_num: int = 100  # number of slot queries
+    has_no_obj: bool = True
+    pos_hidden_dim: int = 256
+    test_forward_ref_img: bool = True
+    # bfloat16 for backbone/decoder compute (params stay fp32).
+    compute_dtype: str = "float32"
+
+    @property
+    def num_classes(self) -> int:
+        return self.slot_head.num_classes
+
+    @property
+    def stuff_num(self) -> int:
+        # reference vps_temporal_slots.py:62-74
+        if self.num_classes <= 20:
+            return 11  # Cityscapes
+        if self.num_classes in (46, 47):
+            return 34  # Mapillary Vistas
+        if self.num_classes in (23, 24):
+            return 13  # VIPER
+        raise ValueError(f"unsupported num_classes: {self.num_classes}")
+
+    def fpn_in_channels(self) -> Tuple[int, ...]:
+        if self.backbone == "resnet":
+            return (256, 512, 1024, 2048)
+        dim = self.swin.embed_dim
+        return (dim, dim * 2, dim * 4, dim * 8)
+
+
+@_frozen
+class EvalConfig:
+    """Evaluation-protocol constants (reference
+    configs/cityscapes/test_cityscapes_1gpu.yaml + tools/dataset/*)."""
+
+    num_classes: int = 9  # UPSNet-legacy count: 1 bg + 8 things
+    num_seg_classes: int = 19
+    panoptic_stuff_area_limit: int = 2048
+    nframes_per_video: int = 6
+    lambda_: int = 5
+    labeled_fid: int = 20
+    n_video: int = 50
+
+    @property
+    def id_last_stuff(self) -> int:
+        # = 10 for Cityscapes (reference tools/dataset/base_dataset.py:253)
+        return self.num_seg_classes - self.num_classes
+
+
+@_frozen
+class DataConfig:
+    """Test-pipeline constants (reference r50_fpn_slotvps.py:121-161)."""
+
+    img_scale: Tuple[int, int] = (2048, 1024)  # (w, h)
+    keep_ratio: bool = True
+    # mean/std applied after BGR->RGB conversion (to_rgb=True)
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    to_rgb: bool = True
+    size_divisor: int = 32
+    nframes_span_test: int = 30
+    # iid = vid * iid_divisor + fid (reference cityscapes_vps.py:57-58;
+    # VIPER uses 100000, vps_temporal_slots.py:220-224)
+    iid_divisor: int = 10000
+
+
+@_frozen
+class Config:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    eval: EvalConfig = EvalConfig()
+
+
+def r50_fpn_slotvps() -> Config:
+    """Equivalent of reference configs/cityscapes/r50_fpn_slotvps.py."""
+    return Config()
+
+
+def swinl_fpn_slotvps() -> Config:
+    """Equivalent of reference configs/cityscapes/swinL_fpn_slotvps.py."""
+    return Config(model=ModelConfig(backbone="swin"))
+
+
+_NAMED = {
+    "r50_fpn_slotvps": r50_fpn_slotvps,
+    "swinl_fpn_slotvps": swinl_fpn_slotvps,
+}
+
+
+def named_config(name: str) -> Config:
+    try:
+        return _NAMED[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown config '{name}', available: {sorted(_NAMED)}"
+        ) from None
