@@ -1,0 +1,105 @@
+"""Bilinear / nearest interpolation with exact PyTorch semantics.
+
+The reference leans on ``torch.nn.functional.interpolate`` everywhere —
+FPN top-down (nearest x2), multi-scale feature fusion (bilinear x2,
+align_corners=False), semantic-head upsampling (bilinear x4,
+align_corners True and False variants), and mask upsampling to full
+resolution (bilinear, align_corners=False).  VPQ is IoU-thresholded, so the
+post-processing argmax is sensitive to the interpolation convention; these
+implementations reproduce torch exactly (see tests/test_ops_interpolate.py
+for parity vs torch CPU).
+
+All functions take NHWC arrays (TPU-native layout).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _source_coords(out_size: int, in_size: int, align_corners: bool):
+    """Per-output-pixel fractional source coordinate, torch convention."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        if out_size == 1:
+            return jnp.zeros((out_size,), jnp.float32)
+        scale = (in_size - 1) / (out_size - 1)
+        return i * scale
+    scale = in_size / out_size
+    # half-pixel centers; torch clamps negatives to 0
+    src = (i + 0.5) * scale - 0.5
+    return jnp.maximum(src, 0.0)
+
+
+def interpolate_bilinear(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """``F.interpolate(x, size, mode='bilinear', align_corners=...)``.
+
+    x: [..., H, W, C] (leading batch dims allowed). Returns [..., h, w, C].
+    """
+    h_out, w_out = size
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    if (h_out, w_out) == (h_in, w_in):
+        return x
+
+    ys = _source_coords(h_out, h_in, align_corners)
+    xs = _source_coords(w_out, w_in, align_corners)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h_in - 1)
+    x1 = jnp.minimum(x0 + 1, w_in - 1)
+    wy = (ys - y0.astype(jnp.float32))[:, None]  # [h_out, 1]
+    wx = (xs - x0.astype(jnp.float32))[None, :]  # [1, w_out]
+
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # gather rows then columns (separable)
+    top = jnp.take(xf, y0, axis=-3)
+    bot = jnp.take(xf, y1, axis=-3)
+    tl = jnp.take(top, x0, axis=-2)
+    tr = jnp.take(top, x1, axis=-2)
+    bl = jnp.take(bot, x0, axis=-2)
+    br = jnp.take(bot, x1, axis=-2)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    out = (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx
+           + bl * wy * (1 - wx) + br * wy * wx)
+    return out.astype(dtype)
+
+
+def interpolate_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """``F.interpolate(x, size, mode='nearest')`` (floor convention).
+
+    x: [..., H, W, C].
+    """
+    h_out, w_out = size
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    if (h_out, w_out) == (h_in, w_in):
+        return x
+    ys = jnp.floor(jnp.arange(h_out, dtype=jnp.float32)
+                   * (h_in / h_out)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(w_out, dtype=jnp.float32)
+                   * (w_in / w_out)).astype(jnp.int32)
+    ys = jnp.minimum(ys, h_in - 1)
+    xs = jnp.minimum(xs, w_in - 1)
+    return jnp.take(jnp.take(x, ys, axis=-3), xs, axis=-2)
+
+
+def upsample_x2_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Fast path for FPN top-down x2 nearest (no gathers: pure reshape)."""
+    h, w = x.shape[-3], x.shape[-2]
+    x = jnp.repeat(x, 2, axis=-3)
+    x = jnp.repeat(x, 2, axis=-2)
+    return x
+
+
+def upsample_x2_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+    """``F.interpolate(x, scale_factor=2, mode='bilinear')``."""
+    h, w = x.shape[-3], x.shape[-2]
+    return interpolate_bilinear(x, (2 * h, 2 * w), align_corners)

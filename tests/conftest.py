@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# full-precision matmuls in tests: parity comparisons against torch/numpy
+# need f32 accumulation, not the bf16-pass default
+jax.config.update("jax_default_matmul_precision", "float32")
 
 
 @pytest.fixture
