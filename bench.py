@@ -1,0 +1,91 @@
+"""Benchmark: VPS frames/sec/chip at 1024x2048 (Cityscapes-VPS shape).
+
+Measures the full per-frame device step of the flagship r50_fpn_slotvps
+model — backbone + FPN + DCN semantic head + 7-stage slot decoder +
+on-device panoptic post-processing — exactly what the reference spends its
+per-frame wall clock on (reference tools/test_vpq.py:23-59 +
+vps_temporal_slots.py:207-469).  Steady-state: each frame reuses the
+previous frame's backbone features as its reference features, as the
+streaming pipeline does.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": x}
+
+``vs_baseline`` compares against the reference PyTorch path's estimated
+per-frame rate.  The reference publishes no throughput (BASELINE.md); we
+use 1.0 frame/sec as the baseline estimate for the full V100 per-frame path
+(GPU forward + CPU/PIL/numpy post-processing, SURVEY.md §3.3 boundaries).
+The north-star target is vs_baseline >= 10 (BASELINE.json).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1.0  # estimated reference per-frame rate (see docstring)
+H, W = 1024, 2048
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from slotvps_tpu.config import r50_fpn_slotvps
+    from slotvps_tpu.models.detector import (
+        decode_pair, extract_features, init_model)
+    from slotvps_tpu.models.postprocess import postprocess_frame
+
+    cfg = r50_fpn_slotvps().model
+    params = init_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def frame_step(params, img, ref_feats):
+        cur_feats = extract_features(params, cfg, img)
+        outs = decode_pair(params, cfg, ref_feats, cur_feats)
+        post = postprocess_frame(
+            outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
+            outs.fcn_output[0], (H, W), cfg.postprocess)
+        # scalar checksum over every output: reading it back forces the
+        # whole step to complete (block_until_ready is async on the
+        # tunneled axon platform, so a readback is the only real fence)
+        probe = (post.panoptic.sum() + post.sseg.sum()
+                 + post.kept.sum() + post.labels.sum()
+                 + post.scores.sum().astype(jnp.int32)
+                 + post.embeddings.sum().astype(jnp.int32))
+        return cur_feats, (post.panoptic, post.sseg, post.kept,
+                           post.labels, post.scores, post.embeddings), probe
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+
+    @jax.jit
+    def _extract(params, img):
+        return extract_features(params, cfg, img)
+
+    ref_feats = _extract(params, img)
+
+    for _ in range(WARMUP):
+        ref_feats, out, probe = frame_step(params, img, ref_feats)
+    _ = np.asarray(probe)  # fence
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ref_feats, out, probe = frame_step(params, img, ref_feats)
+    _ = np.asarray(probe)  # fence
+    dt = (time.perf_counter() - t0) / ITERS
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "VPS frames/sec/chip at 1024x2048 (r50_fpn_slotvps, "
+                  "full step incl. on-device panoptic postproc)",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

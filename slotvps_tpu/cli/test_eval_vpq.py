@@ -1,0 +1,167 @@
+"""End-to-end inference + VPQ evaluation CLI.
+
+Equivalent of the reference's canonical entry point
+(reference tools/test_eval_vpq.py:18-197 + scripts/test_eval_vpq.sh):
+load config -> build model -> stream frames through the jitted pipeline ->
+fuse panoptic outputs -> write pred.json + pan_pred/*.png -> compute VPQ at
+window sizes λ ∈ {0, 5, 10, 15}.
+
+Usage:
+  python -m slotvps_tpu.cli.test_eval_vpq \
+      --config r50_fpn_slotvps \
+      --ann_file data/cityscapes_vps/im_all_info_val_city_vps.json \
+      --img_prefix data/cityscapes_vps/val/img_all \
+      --checkpoint weights.pth --out work_dirs/out.pkl \
+      --truth_dir data/cityscapes_vps/val/panoptic_video \
+      --pan_gt_json_file data/cityscapes_vps/panoptic_gt_val_city_vps.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import pickle
+import time
+
+import numpy as np
+
+from slotvps_tpu.config import named_config
+from slotvps_tpu.data.dataset import CityscapesVPSDataset
+from slotvps_tpu.data.loader import PrefetchLoader
+from slotvps_tpu.eval import vpq as vpq_mod
+from slotvps_tpu.eval.fusion import inference_panoptic_video, unify_pan_result
+from slotvps_tpu.inference import InferencePipeline
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="slotvps_tpu test + VPQ eval")
+    p.add_argument("--config", default="r50_fpn_slotvps")
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth (reference format, converted on load), "
+                        "orbax dir, or empty for random init")
+    p.add_argument("--ann_file", required=True)
+    p.add_argument("--img_prefix", required=True)
+    p.add_argument("--out", default="work_dirs/slotvps_tpu/out.pkl")
+    p.add_argument("--load", action="store_true",
+                   help="resume from the cached *_pred_pans_2ch.pkl")
+    p.add_argument("--n_video", type=int, default=50)
+    p.add_argument("--truth_dir", default=None)
+    p.add_argument("--pan_gt_json_file", default=None)
+    p.add_argument("--pan_im_json_file", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_params(args, cfg):
+    import jax
+
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        from slotvps_tpu.utils.checkpoint import load_torch_checkpoint
+        return load_torch_checkpoint(args.checkpoint, cfg.model)
+    if args.checkpoint:
+        from slotvps_tpu.models.detector import init_model
+        from slotvps_tpu.utils.checkpoint import load_checkpoint
+        like = init_model(jax.random.PRNGKey(args.seed), cfg.model)
+        return load_checkpoint(args.checkpoint, like)
+    from slotvps_tpu.models.detector import init_model
+    print("WARNING: no checkpoint given — using random init")
+    return init_model(jax.random.PRNGKey(args.seed), cfg.model)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = named_config(args.config)
+    os.makedirs(osp.dirname(args.out) or ".", exist_ok=True)
+    output_dir = args.out.replace(".pkl", "_pans_unified/")
+    cache = args.out.replace(".pkl", "_pred_pans_2ch.pkl")
+
+    dataset = CityscapesVPSDataset(
+        args.ann_file, args.img_prefix,
+        nframes_span_test=cfg.data.nframes_span_test,
+        iid_divisor=cfg.data.iid_divisor,
+        scale=cfg.data.img_scale)
+    print(f"dataset: {len(dataset)} frames")
+
+    if args.load and osp.exists(cache):
+        with open(cache, "rb") as f:
+            pred_pans_2ch = pickle.load(f)
+        names = sorted(i["file_name"] for i in dataset.img_infos)
+    else:
+        params = build_params(args, cfg)
+        n_params = sum(np.prod(p.shape) for p in
+                       __import__("jax").tree.leaves(params))
+        print(f"Model Params : {n_params / 1e6:.2f} M")
+
+        pipeline = InferencePipeline(params, cfg)
+        ssegs, panos, cls_inds, obj_ids, names = [], [], [], [], []
+        t0 = time.time()
+        for item in PrefetchLoader(dataset):
+            meta = item["meta"]
+            res = pipeline.process_frame(item["img"], meta["is_first"])
+            ssegs.append(res.sseg)
+            panos.append(res.panoptic)
+            cls_inds.append(res.cls_inds)
+            obj_ids.append(res.obj_ids)
+            names.append(osp.basename(meta["filename"]))
+            done = len(names)
+            if done % 50 == 0:
+                dt = time.time() - t0
+                print(f"[{done}/{len(dataset)}] {done / dt:.2f} frames/s")
+
+        pans_2ch = unify_pan_result(
+            ssegs, panos, cls_inds, obj_ids,
+            stuff_area_limit=cfg.eval.panoptic_stuff_area_limit,
+            id_last_stuff=cfg.eval.id_last_stuff)
+        # sort by filename like the reference (test_eval_vpq.py:146-151)
+        order = np.argsort(names)
+        pred_pans_2ch = [pans_2ch[i] for i in order]
+        names = [names[i] for i in order]
+        with open(cache, "wb") as f:
+            pickle.dump(pred_pans_2ch, f, protocol=2)
+
+    if args.pan_im_json_file:
+        with open(args.pan_im_json_file) as f:
+            im_jsons = json.load(f)
+        categories = im_jsons["categories"]
+        names = sorted(x["file_name"] for x in im_jsons["images"])
+    else:
+        from slotvps_tpu.eval.color import CITYSCAPES_CATEGORIES
+        categories = list(CITYSCAPES_CATEGORIES)
+
+    pred_pans, pred_json = inference_panoptic_video(
+        pred_pans_2ch, output_dir, categories, names,
+        nframes_per_video=cfg.eval.nframes_per_video,
+        labeled_fid=cfg.eval.labeled_fid, lambda_=cfg.eval.lambda_)
+    print(f"==> wrote {output_dir}pred.json "
+          f"({len(pred_json['annotations'])} annotations)")
+
+    if args.pan_gt_json_file and args.truth_dir:
+        from PIL import Image
+
+        with open(args.pan_gt_json_file) as f:
+            gt_jsons = json.load(f)
+        n = len(pred_json["annotations"])
+        gt_images = gt_jsons["images"][:n]
+        gt_annos = gt_jsons["annotations"][:n]
+        cats = {el["id"]: el for el in gt_jsons["categories"]}
+        files = [i["file_name"]
+                 .replace("_newImg8bit.png", "_final_mask.png")
+                 .replace("_leftImg8bit.png", "_gtFine_color.png")
+                 for i in gt_images]
+        files.sort()
+        gt_pans = [np.array(Image.open(osp.join(args.truth_dir, f)))
+                   for f in files]
+        summary = vpq_mod.final_eval(
+            pred_json["annotations"], gt_annos, gt_pans, pred_pans, cats,
+            output_dir=output_dir,
+            nframes_per_video=cfg.eval.nframes_per_video)
+        print("vpq_all:%.4f" % summary["vpq_all"])
+        print("vpq_thing:%.4f" % summary["vpq_thing"])
+        print("vpq_stuff:%.4f" % summary["vpq_stuff"])
+        print("vpq_errp:%.4f" % summary["vpq_errp"])
+
+
+if __name__ == "__main__":
+    main()

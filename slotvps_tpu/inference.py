@@ -1,0 +1,150 @@
+"""Per-frame / per-video inference pipeline.
+
+Equivalent of the reference's test loop (reference tools/test_vpq.py:23-59
+``single_gpu_test`` + mmdet/models/detectors/vps_temporal_slots.py:207-469
+``simple_test``), restructured TPU-first:
+
+  * the whole device step (backbone -> decoder -> postproc) is one jitted
+    function with static shapes; no per-frame GPU<->CPU ping-pong
+    (the reference crosses the device boundary 4+ times per frame,
+    SURVEY.md §3.3),
+  * each frame's backbone features are computed once and carried as the
+    next frame's reference features (the reference recomputes them),
+  * only the tiny greedy id-assignment runs on host (tracking.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slotvps_tpu.config import Config
+from slotvps_tpu.models.detector import (
+    FrameFeatures, FrameOutputs, decode_pair, extract_features)
+from slotvps_tpu.models.postprocess import PostprocResult, postprocess_frame
+from slotvps_tpu.models.track_head import apply_track_head
+from slotvps_tpu.tracking import TrackState
+
+
+class FrameResult(NamedTuple):
+    """Host-side per-frame result, reference ``pano_results`` dict
+    (vps_temporal_slots.py:459-465)."""
+
+    sseg: np.ndarray        # [H, W] uint8 semantic argmax ('fcn_outputs')
+    panoptic: np.ndarray    # [H, W] uint8 fused map ('panoptic_outputs')
+    cls_inds: np.ndarray    # [n_things] 1-based thing class
+    cls_prob: np.ndarray    # [n_things] scores
+    obj_ids: np.ndarray     # [n_things] track ids
+
+
+class InferencePipeline:
+    """Streaming per-frame inference with carried video state."""
+
+    def __init__(self, params: Dict, config: Config,
+                 image_size: Optional[tuple] = None):
+        self.params = params
+        self.config = config
+        cfg = config.model
+
+        @jax.jit
+        def _extract(params, img):
+            return extract_features(params, cfg, img)
+
+        @jax.jit
+        def _decode_post(params, ref_feats, cur_feats):
+            outs = decode_pair(params, cfg, ref_feats, cur_feats)
+            h, w = outs.fcn_output.shape[1:3]
+            post = postprocess_frame(
+                outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
+                outs.fcn_output[0], (h, w), cfg.postprocess)
+            return post
+
+        @jax.jit
+        def _match(params, cur_emb, prev_emb):
+            return apply_track_head(params["track_head"], cur_emb, prev_emb)
+
+        self._extract = _extract
+        self._decode_post = _decode_post
+        self._match = _match
+        self._track = TrackState()
+        self._prev_feats: Optional[FrameFeatures] = None
+        self.stuff_num = cfg.stuff_num
+
+    def reset_video(self):
+        self._track.reset()
+        self._prev_feats = None
+
+    def process_frame(self, img: np.ndarray, is_first: bool,
+                      ref_img: Optional[np.ndarray] = None) -> FrameResult:
+        """img: [1, H, W, 3] normalized.  ``is_first`` starts a new video
+        (reference fid==1 check, vps_temporal_slots.py:227-236).
+
+        ``ref_img`` forces explicit reference-frame pixels (first frame of a
+        test span refs itself — reference cityscapes_vps.py:258-264);
+        otherwise the previous frame's cached features are used.
+        """
+        if is_first:
+            self.reset_video()
+
+        cur_feats = self._extract(self.params, jnp.asarray(img))
+        if self._prev_feats is not None:
+            ref_feats = self._prev_feats
+        elif ref_img is not None:
+            ref_feats = self._extract(self.params, jnp.asarray(ref_img))
+        else:
+            ref_feats = cur_feats
+        post: PostprocResult = self._decode_post(self.params, ref_feats,
+                                                 cur_feats)
+        self._prev_feats = cur_feats
+        return self._finish_frame(post, is_first)
+
+    def _finish_frame(self, post: PostprocResult,
+                      is_first: bool) -> FrameResult:
+        kept = np.asarray(post.kept)
+        is_thing = np.asarray(post.is_thing)
+        labels = np.asarray(post.labels)
+        scores = np.asarray(post.scores)
+        embeds = np.asarray(post.embeddings)
+
+        kept_idx = np.nonzero(kept)[0]
+        kept_thing = kept & is_thing
+        thing_idx = np.nonzero(kept_thing)[0]
+
+        cls_inds = labels[thing_idx] - (self.stuff_num - 1)
+        cls_prob = scores[thing_idx]
+
+        cur_emb = embeds[kept_idx]
+        if is_first or self._track.embeddings is None:
+            all_ids = self._track.start(cur_emb)
+        elif len(kept_idx) == 0:
+            all_ids = np.zeros((0,), np.int64)
+        else:
+            match = np.asarray(self._match(
+                self.params, jnp.asarray(cur_emb),
+                jnp.asarray(self._track.embeddings)))
+            all_ids = self._track.update(match, cur_emb)
+        # export thing ids only (reference :338-339, :408-409)
+        thing_pos_in_kept = np.searchsorted(kept_idx, thing_idx)
+        obj_ids = all_ids[thing_pos_in_kept] if len(all_ids) else \
+            np.zeros((0,), np.int64)
+
+        return FrameResult(
+            sseg=np.asarray(post.sseg).astype(np.uint8),
+            panoptic=np.asarray(post.panoptic).astype(np.uint8),
+            cls_inds=cls_inds.astype(np.int64),
+            cls_prob=cls_prob.astype(np.float32),
+            obj_ids=obj_ids.astype(np.int64),
+        )
+
+
+def run_video(pipeline: InferencePipeline,
+              frames: Sequence[np.ndarray]) -> List[FrameResult]:
+    """Run one video clip (list of [1, H, W, 3] normalized frames)."""
+    results = []
+    for t, img in enumerate(frames):
+        results.append(pipeline.process_frame(img, is_first=(t == 0)))
+    return results

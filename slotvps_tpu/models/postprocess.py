@@ -1,0 +1,232 @@
+"""Panoptic post-processing — jittable, fixed slot capacity.
+
+Behavioral re-implementation of the reference's
+``PostProcessPanopticInstances`` (reference
+mmdet/models/detectors/vps_temporal_slots.py:528-807) plus the detector-side
+panoptic id remap (:323-435), re-designed for XLA: no data-dependent shapes.
+Variable-length instance lists become a fixed capacity of ``K`` slots with
+validity flags, the score-sorted greedy mask-removal loop becomes a
+``lax.scan`` over slot positions carrying pixel-ownership maps, and the
+iterative small-segment filter becomes a ``lax.while_loop``.
+
+Pipeline (semantics matched step-for-step):
+ 1. threshold keep: class != no-obj and softmax score > 0.85 (:685-696),
+ 2. bilinear-upsample mask logits to full resolution (:697-698),
+ 3. reorder slots: stuff (score desc), things (score desc), invalid
+    (:591-599 keeps stuff first in sorted order),
+ 4. greedy mask removal over things (:601-639): binarize the kept-slot
+    softmax at 0.4; drop a mask if it is all-0/all-1, or its overlap with
+    same-class already-claimed pixels exceeds 3% of its area; otherwise it
+    claims its still-unclaimed pixels,
+ 5. per-pixel argmax over the modified mask stack, duplicate-stuff dedup on
+    the first pass (:724-758),
+ 6. iterative area<=4 filter with argmax recompute (:762-790),
+ 7. panoptic id remap: stuff pixel -> class id, thing pixel -> 11 + rank of
+    its slot among kept things (:414-435).
+
+The reference's id2rgb -> PIL NEAREST resize -> rgb2id round trip (:745-751)
+is an identity here because Cityscapes eval guarantees target size ==
+processed size (asserted by the reference at :310-312, :437-439).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slotvps_tpu.config import ModelConfig, PostprocessConfig
+from slotvps_tpu.ops.interpolate import interpolate_bilinear
+
+_NEG = -1e30
+
+
+class PostprocResult(NamedTuple):
+    """Fixed-capacity per-frame result (order: stuff desc, things desc,
+    invalid).  Host code converts to variable-length lists."""
+
+    kept: jnp.ndarray         # [K] bool — survives all filtering
+    is_thing: jnp.ndarray     # [K] bool
+    labels: jnp.ndarray       # [K] int32 class ids (0..18)
+    scores: jnp.ndarray       # [K] f32
+    embeddings: jnp.ndarray   # [K, D] slot embeddings (for tracking)
+    thing_rank: jnp.ndarray   # [K] int32 rank among kept things (-1 else)
+    panoptic: jnp.ndarray     # [H, W] int32: stuff class / 11+rank / 255
+    sseg: jnp.ndarray         # [H, W] int32 semantic argmax
+    n_kept: jnp.ndarray       # [] int32
+    n_things: jnp.ndarray     # [] int32
+
+
+def _slot_order(scores, classes, cfg: PostprocessConfig):
+    """Permutation: stuff (score desc), things (score desc), invalid."""
+    no_obj = cfg.num_classes - 1
+    valid = (classes != no_obj) & (scores > cfg.threshold)
+    is_stuff = classes <= cfg.num_stuff - 1
+    # score-desc order matching np.argsort(x)[::-1] tie behavior
+    by_score = jnp.argsort(scores, stable=True)[::-1]
+    group = jnp.where(valid[by_score],
+                      jnp.where(is_stuff[by_score], 0, 1), 2)
+    perm = by_score[jnp.argsort(group, stable=True)]
+    return perm, valid
+
+
+def _mask_removal_scan(raw, prob, labels, is_thing, valid,
+                       cfg: PostprocessConfig):
+    """Greedy per-slot claim loop (reference :601-639).
+
+    raw/prob: [K, H, W]; returns (kept [K] bool, owner [H, W] int32 —
+    claiming slot position or -1)."""
+    k, h, w = raw.shape
+    logit = (prob >= cfg.pixel_threshold) & valid[:, None, None]
+    mask_sum = logit.reshape(k, -1).sum(axis=1)
+
+    def step(carry, i):
+        owner, owner_class = carry
+        lg = logit[i]
+        n = mask_sum[i]
+        cls = labels[i]
+        same_class_claimed = (owner >= 0) & (owner_class == cls)
+        overlap = (lg & same_class_claimed).sum()
+        degenerate = (n == 0) | (n == h * w)
+        reject = degenerate | (overlap / jnp.maximum(n, 1)
+                               > cfg.fraction_threshold)
+        keep_i = valid[i] & is_thing[i] & ~reject
+        claim = lg & (owner < 0) & keep_i
+        owner = jnp.where(claim, i, owner)
+        owner_class = jnp.where(claim, cls, owner_class)
+        return (owner, owner_class), keep_i
+
+    init = (jnp.full((h, w), -1, jnp.int32), jnp.full((h, w), -1, jnp.int32))
+    (owner, _), keep_things = jax.lax.scan(step, init, jnp.arange(k))
+    if not cfg.apply_mask_removal_only_ins:
+        raise NotImplementedError(
+            "only apply_mask_removal_only_ins=True is used by the reference "
+            "configs (r50_fpn_slotvps.py:72)")
+    kept = jnp.where(is_thing, keep_things, valid)
+    return kept, owner
+
+
+def _dedup_map(labels, is_thing, kept):
+    """First-kept-stuff-position per class (reference :736-741)."""
+    k = labels.shape[0]
+    pos = jnp.arange(k)
+    stuff_kept = kept & ~is_thing
+    # first kept position per class: scatter-min over labels (classes < 32)
+    first = jnp.full((32,), k, jnp.int32).at[
+        jnp.where(stuff_kept, labels, 31)
+    ].min(jnp.where(stuff_kept, pos, k))
+    mapped = jnp.where(stuff_kept, first[labels], pos)
+    return jnp.where(mapped < k, mapped, pos)
+
+
+def _argmax_pass(final_vals, kept, dedup, labels, is_thing):
+    """[K, H, W] masked argmax + per-slot areas (reference get_ids_area)."""
+    k = final_vals.shape[0]
+    vals = jnp.where(kept[:, None, None], final_vals, _NEG)
+    m_id = jnp.argmax(vals, axis=0).astype(jnp.int32)
+    if dedup:
+        m_id = _dedup_map(labels, is_thing, kept)[m_id]
+    areas = jnp.zeros((k,), jnp.int32).at[m_id].add(1)
+    areas = jnp.where(kept, areas, 0)
+    return m_id, areas
+
+
+def postprocess_frame(
+    pred_logits: jnp.ndarray,   # [K, C]
+    pred_masks: jnp.ndarray,    # [K, h, w] quarter-res logits
+    embeddings: jnp.ndarray,    # [K, D]
+    fcn_output: jnp.ndarray,    # [H, W, 19]
+    out_size: Tuple[int, int],
+    cfg: PostprocessConfig,
+) -> PostprocResult:
+    """Full per-frame post-processing (jit-friendly, static shapes)."""
+    k = pred_logits.shape[0]
+    h, w = out_size
+
+    probs = jax.nn.softmax(pred_logits, axis=-1)
+    scores = probs.max(axis=-1)
+    classes = probs.argmax(axis=-1).astype(jnp.int32)
+
+    perm, valid = _slot_order(scores, classes, cfg)
+    scores = scores[perm]
+    classes = classes[perm]
+    valid = valid[perm]
+    embeds = embeddings[perm]
+    masks = pred_masks[perm]
+    is_thing = classes > cfg.num_stuff - 1
+
+    # upsample to full res (reference :697-698, bilinear align_corners=False)
+    raw = interpolate_bilinear(
+        masks.transpose(1, 2, 0), (h, w), align_corners=False
+    ).transpose(2, 0, 1)
+
+    if cfg.apply_mask_removal:
+        # softmax over *valid* slots per pixel (reference :572)
+        mx = jnp.max(jnp.where(valid[:, None, None], raw, _NEG), axis=0,
+                     keepdims=True)
+        ex = jnp.where(valid[:, None, None], jnp.exp(raw - mx), 0.0)
+        prob = ex / jnp.maximum(ex.sum(axis=0, keepdims=True), 1e-30)
+        kept, owner = _mask_removal_scan(raw, prob, classes, is_thing,
+                                         valid, cfg)
+        pos = jnp.arange(k)
+        final_vals = jnp.where(
+            is_thing[:, None, None],
+            jnp.where(owner[None] == pos[:, None, None], raw, 0.0),
+            raw)
+    else:
+        kept = valid
+        final_vals = raw
+
+    # argmax fusion + iterative small-area filter (reference :758-790)
+    if cfg.filter_small_option == "4":
+        def small(areas, cls):
+            return areas <= 4
+    elif cfg.filter_small_option == "4_256":
+        def small(areas, cls):
+            return jnp.where(cls > cfg.num_stuff - 1, areas < 256, areas < 4)
+    elif cfg.filter_small_option == "4096_256":
+        def small(areas, cls):
+            return jnp.where(cls > cfg.num_stuff - 1, areas < 256,
+                             areas < 4096)
+    else:
+        raise ValueError(cfg.filter_small_option)
+
+    m_id, areas = _argmax_pass(final_vals, kept, True, classes, is_thing)
+
+    def cond(state):
+        kept_, _, areas_ = state
+        return jnp.any(kept_ & small(areas_, classes)) & jnp.any(kept_)
+
+    def body(state):
+        kept_, _, areas_ = state
+        kept_ = kept_ & ~small(areas_, classes)
+        m_id_, areas_ = _argmax_pass(final_vals, kept_, False, classes,
+                                     is_thing)
+        return kept_, m_id_, areas_
+
+    kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
+
+    # panoptic id remap (reference :414-435): thing -> stuff_num + rank
+    kept_thing = kept & is_thing
+    thing_rank = jnp.where(kept_thing,
+                           jnp.cumsum(kept_thing.astype(jnp.int32)) - 1, -1)
+    slot_value = jnp.where(kept_thing, cfg.num_stuff + thing_rank,
+                           jnp.where(kept, classes, 255))
+    any_kept = jnp.any(kept)
+    panoptic = jnp.where(any_kept, slot_value[m_id], 255).astype(jnp.int32)
+
+    sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
+
+    return PostprocResult(
+        kept=kept,
+        is_thing=is_thing,
+        labels=classes,
+        scores=scores,
+        embeddings=embeds,
+        thing_rank=thing_rank.astype(jnp.int32),
+        panoptic=panoptic,
+        sseg=sseg,
+        n_kept=kept.sum().astype(jnp.int32),
+        n_things=kept_thing.sum().astype(jnp.int32),
+    )

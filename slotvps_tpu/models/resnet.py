@@ -1,0 +1,142 @@
+"""ResNet backbone (functional, NHWC, frozen BatchNorm).
+
+Capability parity with the reference backbone
+(reference mmdet/models/backbones/resnet.py:338 ``ResNet``; r50 settings in
+configs/cityscapes/r50_fpn_slotvps.py:5-12: depth=50, out_indices (0,1,2,3),
+frozen_stages=1, norm_eval=True, style='pytorch').
+
+``style='pytorch'`` puts the stride-2 on each bottleneck's 3x3 conv
+(reference resnet.py Bottleneck), i.e. torchvision layout — so torchvision
+``resnet50`` checkpoints convert directly (utils/checkpoint.py).
+
+All BatchNorms are applied with running statistics (``norm_eval=True`` in
+the reference freezes them even during training), so inference and the
+training step share one code path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slotvps_tpu.models import layers as L
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def _init_block(key, block, c_in, planes, stride, expansion):
+    ks = jax.random.split(key, 8)
+    p = {}
+    if block == "bottleneck":
+        p["conv1"] = init = L.init_conv(ks[0], 1, 1, c_in, planes, bias=False)
+        p["bn1"] = L.init_bn(planes)
+        p["conv2"] = L.init_conv(ks[1], 3, 3, planes, planes, bias=False)
+        p["bn2"] = L.init_bn(planes)
+        p["conv3"] = L.init_conv(ks[2], 1, 1, planes, planes * expansion,
+                                 bias=False)
+        p["bn3"] = L.init_bn(planes * expansion)
+        c_out = planes * expansion
+    else:
+        p["conv1"] = L.init_conv(ks[0], 3, 3, c_in, planes, bias=False)
+        p["bn1"] = L.init_bn(planes)
+        p["conv2"] = L.init_conv(ks[1], 3, 3, planes, planes, bias=False)
+        p["bn2"] = L.init_bn(planes)
+        c_out = planes
+    if stride != 1 or c_in != c_out:
+        p["downsample"] = {
+            "conv": L.init_conv(ks[3], 1, 1, c_in, c_out, bias=False),
+            "bn": L.init_bn(c_out),
+        }
+    return p, c_out
+
+
+def init_resnet(key, depth=50) -> Dict:
+    block, stage_blocks = ARCH_SETTINGS[depth]
+    expansion = 4 if block == "bottleneck" else 1
+    ks = jax.random.split(key, 1 + len(stage_blocks))
+    params: Dict = {
+        "conv1": L.init_conv(ks[0], 7, 7, 3, 64, bias=False),
+        "bn1": L.init_bn(64),
+    }
+    c_in = 64
+    for si, nblocks in enumerate(stage_blocks):
+        planes = 64 * 2 ** si
+        stride = 1 if si == 0 else 2
+        stage = []
+        bkeys = jax.random.split(ks[1 + si], nblocks)
+        for bi in range(nblocks):
+            bp, c_in = _init_block(bkeys[bi], block, c_in, planes,
+                                   stride if bi == 0 else 1, expansion)
+            stage.append(bp)
+        params[f"layer{si + 1}"] = stage
+    return params
+
+
+def _max_pool_3x3_s2(x):
+    """torch ``nn.MaxPool2d(3, stride=2, padding=1)`` on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def _bottleneck(p, x, stride):
+    out = L.conv2d(p["conv1"], x, padding=0)
+    out = L.relu(L.batch_norm_eval(p["bn1"], out))
+    out = L.conv2d(p["conv2"], out, stride=stride, padding=1)
+    out = L.relu(L.batch_norm_eval(p["bn2"], out))
+    out = L.conv2d(p["conv3"], out, padding=0)
+    out = L.batch_norm_eval(p["bn3"], out)
+    if "downsample" in p:
+        identity = L.batch_norm_eval(
+            p["downsample"]["bn"],
+            L.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0))
+    else:
+        identity = x
+    return L.relu(out + identity)
+
+
+def _basic_block(p, x, stride):
+    out = L.conv2d(p["conv1"], x, stride=stride, padding=1)
+    out = L.relu(L.batch_norm_eval(p["bn1"], out))
+    out = L.conv2d(p["conv2"], out, padding=1)
+    out = L.batch_norm_eval(p["bn2"], out)
+    if "downsample" in p:
+        identity = L.batch_norm_eval(
+            p["downsample"]["bn"],
+            L.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0))
+    else:
+        identity = x
+    return L.relu(out + identity)
+
+
+def apply_resnet(
+    params: Dict,
+    x: jnp.ndarray,
+    depth: int = 50,
+    out_indices: Sequence[int] = (0, 1, 2, 3),
+) -> List[jnp.ndarray]:
+    """x: [B, H, W, 3] -> feature maps at strides 4/8/16/32."""
+    block, stage_blocks = ARCH_SETTINGS[depth]
+    blk_fn = _bottleneck if block == "bottleneck" else _basic_block
+    x = L.conv2d(params["conv1"], x, stride=2, padding=3)
+    x = L.relu(L.batch_norm_eval(params["bn1"], x))
+    x = _max_pool_3x3_s2(x)
+    outs = []
+    for si in range(len(stage_blocks)):
+        stage = params[f"layer{si + 1}"]
+        stride = 1 if si == 0 else 2
+        for bi, bp in enumerate(stage):
+            x = blk_fn(bp, x, stride if bi == 0 else 1)
+        if si in out_indices:
+            outs.append(x)
+    return outs

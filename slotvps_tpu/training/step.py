@@ -1,0 +1,93 @@
+"""Training step: two-frame forward + PQ/mask-id/semantic losses + optax.
+
+The reference never released training (SURVEY.md §2); this is the native
+trainer the framework ships instead, using the loss recipe the reference's
+configs document (training/losses.py) and the reference's optimizer settings
+(AdamW lr 1e-4, weight_decay 1e-4, grad clip max_norm 1 —
+reference configs/cityscapes/r50_fpn_slotvps.py:198-199).
+
+SPMD: the step jits over a Mesh with the batch sharded on 'data' and
+optional tensor parallelism on 'model' (parallel/mesh.py).  Gradient
+all-reduce is inserted by the partitioner — no DistOptimizerHook equivalent
+needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from slotvps_tpu.config import ModelConfig
+from slotvps_tpu.models.detector import (
+    FrameFeatures, decode_pair, extract_features)
+from slotvps_tpu.models.semantic_head import (
+    apply_semantic_head, semantic_loss)
+from slotvps_tpu.models.fpn import apply_fpn
+from slotvps_tpu.models.detector import apply_backbone
+from slotvps_tpu.training.losses import pq_loss
+
+
+class TrainBatch(NamedTuple):
+    """Fixed-capacity training batch (pads to G GT slots)."""
+
+    img: jnp.ndarray         # [B, H, W, 3]
+    ref_img: jnp.ndarray     # [B, H, W, 3]
+    gt_labels: jnp.ndarray   # [B, G] int32
+    gt_masks: jnp.ndarray    # [B, G, H/4, W/4] {0,1}
+    gt_valid: jnp.ndarray    # [B, G] bool
+    gt_semantic: jnp.ndarray  # [B, H/4, W/4] int32 (255 = ignore)
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
+                   clip_norm: float = 1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+
+
+def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
+            loss_pano_weight: float = 0.5) -> Tuple[jnp.ndarray, Dict]:
+    # forward both frames jointly (same path as inference)
+    both = jnp.concatenate([batch.ref_img, batch.img], axis=0)
+    feats = apply_backbone(params, cfg, both)
+    fpn_outs = apply_fpn(params["fpn"], feats, num_outs=cfg.fpn.num_outs)
+    _, fcn_score, feat_before = apply_semantic_head(
+        params["semantic_head"], fpn_outs[:cfg.semantic_head.num_levels],
+        cfg.semantic_head)
+    from slotvps_tpu.models import layers as L
+    feat_trans = tuple(
+        L.conv2d(params["conv_trans"], f, padding=0) for f in feat_before)
+    b = batch.img.shape[0]
+    ref_feats = FrameFeatures(
+        feat_trans=tuple(f[:b] for f in feat_trans),
+        fcn_output=fcn_score[:b].astype(jnp.float32))
+    cur_feats = FrameFeatures(
+        feat_trans=tuple(f[b:] for f in feat_trans),
+        fcn_output=fcn_score[b:].astype(jnp.float32))
+    outs = decode_pair(params, cfg, ref_feats, cur_feats)
+
+    per_frame = jax.vmap(
+        functools.partial(pq_loss), in_axes=(0, 0, 0, 0, 0))
+    losses = per_frame(outs.pred_logits, outs.pred_masks,
+                       batch.gt_labels, batch.gt_masks, batch.gt_valid)
+    loss_sem = semantic_loss(fcn_score[b:], batch.gt_semantic,
+                             cfg.semantic_head)
+    metrics = {k: v.mean() for k, v in losses.items()}
+    metrics["loss_sem"] = loss_pano_weight * loss_sem
+    total = sum(metrics.values())
+    metrics["loss_total"] = total
+    return total, metrics
+
+
+def train_step(params: Dict, opt_state, batch: TrainBatch,
+               cfg: ModelConfig, optimizer) -> Tuple[Dict, object, Dict]:
+    (_, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, cfg, batch)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, metrics

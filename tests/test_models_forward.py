@@ -1,0 +1,67 @@
+"""Forward-shape and sanity tests for the full detector on tiny inputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slotvps_tpu.config import Config, ModelConfig
+from slotvps_tpu.models.detector import (
+    extract_features, forward_frame, init_model)
+
+CFG = ModelConfig()
+
+_forward_jit = jax.jit(lambda p, img, ref: forward_frame(p, CFG, img, ref))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_model(jax.random.PRNGKey(0), CFG)
+
+
+def test_extract_features_shapes(params):
+    img = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    feats = extract_features(params, CFG, img)
+    # coarsest first: P5 (1/32) .. P2 (1/4)
+    assert [f.shape for f in feats.feat_trans] == [
+        (1, 2, 4, 128), (1, 4, 8, 128), (1, 8, 16, 128), (1, 16, 32, 128)]
+    assert feats.fcn_output.shape == (1, 64, 128, 19)
+
+
+def test_forward_frame_shapes(params):
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 128, 3)).astype(np.float32))
+    outs = _forward_jit(params, img, img)
+    assert outs.pred_logits.shape == (1, 100, 20)
+    assert outs.pred_masks.shape == (1, 100, 16, 32)
+    assert outs.embeddings.shape == (1, 100, 256)
+    assert outs.fcn_output.shape == (1, 64, 128, 19)
+    for arr in outs:
+        assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_forward_ref_changes_outputs(params):
+    """The Video Retriever couples frames: a different reference frame must
+    change the current frame's logits."""
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((1, 64, 128, 3)).astype(np.float32))
+    ref_a = img
+    ref_b = jnp.asarray(rng.standard_normal((1, 64, 128, 3)
+                                            ).astype(np.float32))
+    out_a = _forward_jit(params, img, ref_a)
+    out_b = _forward_jit(params, img, ref_b)
+    assert not np.allclose(np.asarray(out_a.pred_logits),
+                           np.asarray(out_b.pred_logits))
+
+
+def test_swin_backbone_shapes():
+    from slotvps_tpu.config import SwinConfig
+    from slotvps_tpu.models.swin import apply_swin, init_swin
+
+    cfg = SwinConfig(embed_dim=32, depths=(1, 1, 2, 1), num_heads=(2, 2, 2, 2),
+                     window_size=4)
+    params = init_swin(jax.random.PRNGKey(0), cfg)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    outs = apply_swin(params, img, cfg)
+    assert [o.shape for o in outs] == [
+        (1, 16, 24, 32), (1, 8, 12, 64), (1, 4, 6, 128), (1, 2, 3, 256)]

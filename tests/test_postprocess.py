@@ -1,0 +1,201 @@
+"""Panoptic postproc: jittable fixed-capacity version vs a literal numpy
+golden model of the reference semantics
+(reference mmdet/models/detectors/vps_temporal_slots.py:528-807 + :323-435).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+
+from slotvps_tpu.config import PostprocessConfig
+from slotvps_tpu.models.postprocess import postprocess_frame
+
+K, C, D = 24, 20, 8
+NUM_STUFF = 11
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def golden_postprocess(logits, masks, out_size, cfg: PostprocessConfig):
+    """Literal numpy walk of the reference postproc. Returns
+    (labels, scores, orig_indices, m_id, panoptic)."""
+    h, w = out_size
+    probs = _softmax(logits, -1)
+    scores, classes = probs.max(-1), probs.argmax(-1)
+    keep = (classes != cfg.num_classes - 1) & (scores > cfg.threshold)
+    cur_scores = scores[keep]
+    cur_classes = classes[keep]
+    orig = np.nonzero(keep)[0]
+    # torch bilinear upsample (reference :697-698)
+    cur_masks = F.interpolate(torch.from_numpy(masks[keep])[None],
+                              size=(h, w), mode="bilinear",
+                              align_corners=False)[0].numpy()
+    if cur_masks.shape[0] == 0:
+        return (np.zeros(0, np.int64), np.zeros(0), np.zeros(0, np.int64),
+                np.zeros((h, w), np.int64), np.full((h, w), 255, np.int64))
+
+    # ---- mask_removal (reference :564-657) ----
+    if cfg.apply_mask_removal:
+        mask_prob = _softmax(cur_masks, 0)
+        raw = cur_masks.copy()
+        sorted_inds = np.argsort(cur_scores)[::-1]
+        s_scores = cur_scores[sorted_inds]
+        s_classes = cur_classes[sorted_inds]
+        s_prob = mask_prob[sorted_inds]
+        s_raw = raw[sorted_inds]
+        s_orig = orig[sorted_inds]
+
+        mask_image = np.zeros((int(s_classes.max()) + 1, h, w))
+        panoptic_image = np.zeros((h, w))
+        keep_scores, keep_classes, keep_masks, keep_orig = [], [], [], []
+        stuff_inds = []
+        for i in range(len(sorted_inds)):
+            if s_classes[i] <= cfg.num_stuff - 1:
+                stuff_inds.append(i)
+                keep_scores.append(s_scores[i])
+                keep_classes.append(s_classes[i])
+                keep_masks.append(s_raw[i])
+                keep_orig.append(s_orig[i])
+        for i in range(len(sorted_inds)):
+            if i in stuff_inds:
+                continue
+            logit = (s_prob[i] >= cfg.pixel_threshold).astype(np.float64)
+            mask_sum = logit.sum()
+            curr = mask_image[s_classes[i]]
+            if (logit.max() == logit.min() or mask_sum == 0
+                    or np.logical_and(curr >= 1, logit == 1).sum() / mask_sum
+                    > cfg.fraction_threshold):
+                continue
+            assign = np.logical_and(panoptic_image == 0, logit == 1)
+            keep_scores.append(s_scores[i])
+            keep_classes.append(s_classes[i])
+            newm = np.zeros_like(logit)
+            newm[assign] = s_raw[i][assign]
+            keep_masks.append(newm)
+            panoptic_image[assign] = 1
+            newl = np.zeros_like(logit)
+            newl[assign] = logit[assign]
+            mask_image[s_classes[i]] += newl
+            keep_orig.append(s_orig[i])
+        cur_scores = np.array(keep_scores)
+        cur_classes = np.array(keep_classes, np.int64)
+        cur_masks = np.stack(keep_masks)
+        orig = np.array(keep_orig, np.int64)
+
+    # ---- get_ids_area + small-segment loop (reference :724-790) ----
+    def get_ids_area(masks_, scores_, classes_, dedup):
+        m_id = _softmax(masks_, 0).argmax(0) if masks_.shape[0] else \
+            np.zeros((h, w), np.int64)
+        if dedup:
+            from collections import defaultdict
+            equiv = defaultdict(list)
+            for kk, lab in enumerate(classes_):
+                if lab <= cfg.num_stuff - 1:
+                    equiv[int(lab)].append(kk)
+            for eq in equiv.values():
+                if len(eq) > 1:
+                    for eid in eq:
+                        m_id[m_id == eid] = eq[0]
+        area = [(m_id == i).sum() for i in range(len(scores_))]
+        return area, m_id
+
+    area, m_id = get_ids_area(cur_masks, cur_scores, cur_classes, True)
+    if len(cur_classes) > 0:
+        while True:
+            if cfg.filter_small_option == "4":
+                small = np.array([a <= 4 for a in area])
+            else:
+                raise NotImplementedError
+            if small.any():
+                cur_scores = cur_scores[~small]
+                cur_classes = cur_classes[~small]
+                cur_masks = cur_masks[~small]
+                orig = orig[~small]
+                area, m_id = get_ids_area(cur_masks, cur_scores,
+                                          cur_classes, False)
+            else:
+                break
+
+    # ---- detector-side panoptic remap (reference :411-435) ----
+    ins = cur_classes > cfg.num_stuff - 1
+    panoptic_num = len(cur_classes)
+    instance_num = int(ins.sum())
+    sem_labels = np.concatenate([cur_classes[~ins], cur_classes[ins]])
+    masks2 = np.concatenate([cur_masks[~ins], cur_masks[ins]])
+    pan = _softmax(masks2, 0).argmax(0) if panoptic_num else \
+        np.full((h, w), 255, np.int64)
+    pan2 = np.zeros_like(pan)
+    if panoptic_num:
+        pids = np.unique(pan)
+        cnt = instance_num
+        for i in range(len(pids) - 1, -1, -1):
+            oid = pids[i]
+            region = pan == oid
+            if oid >= panoptic_num - instance_num:
+                pan2[region] = NUM_STUFF + cnt - 1
+                cnt -= 1
+            else:
+                pan2[region] = sem_labels[i]
+    return cur_classes, cur_scores, orig, m_id, pan2
+
+
+def _case(rng, seed_boost=0.0, thr=0.30):
+    """Random logits/masks tuned so a handful of slots pass the keep."""
+    logits = rng.standard_normal((K, C)).astype(np.float32) * 2
+    masks = (rng.standard_normal((K, 16, 24)).astype(np.float32) * 2
+             + seed_boost)
+    # make some coherent blobs so segments aren't all tiny
+    for k in range(0, K, 3):
+        y, x = rng.integers(0, 12), rng.integers(0, 18)
+        masks[k, y:y + 6, x:x + 8] += 6.0
+    cfg = PostprocessConfig(threshold=thr)
+    return logits, masks, cfg
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_matches_golden(seed):
+    rng = np.random.default_rng(seed)
+    logits, masks, cfg = _case(rng)
+    out_size = (64, 96)
+    fcn = rng.standard_normal((64, 96, 19)).astype(np.float32)
+
+    res = postprocess_frame(
+        jax.numpy.asarray(logits), jax.numpy.asarray(masks),
+        jax.numpy.asarray(rng.standard_normal((K, D)).astype(np.float32)),
+        jax.numpy.asarray(fcn), out_size, cfg)
+
+    g_classes, g_scores, g_orig, g_mid, g_pan = golden_postprocess(
+        logits, masks, out_size, cfg)
+
+    kept = np.asarray(res.kept)
+    labels = np.asarray(res.labels)[kept]
+    scores = np.asarray(res.scores)[kept]
+    pan = np.asarray(res.panoptic)
+
+    assert labels.tolist() == g_classes.tolist()
+    np.testing.assert_allclose(scores, g_scores, rtol=1e-5)
+    np.testing.assert_array_equal(pan, g_pan)
+    np.testing.assert_array_equal(np.asarray(res.sseg), fcn.argmax(-1))
+
+
+def test_no_kept_slots_all_void():
+    rng = np.random.default_rng(0)
+    logits = np.zeros((K, C), np.float32)
+    logits[:, -1] = 10.0  # everything is no-object
+    masks = rng.standard_normal((K, 16, 24)).astype(np.float32)
+    cfg = PostprocessConfig()
+    res = postprocess_frame(
+        jax.numpy.asarray(logits), jax.numpy.asarray(masks),
+        jax.numpy.asarray(np.zeros((K, D), np.float32)),
+        jax.numpy.asarray(np.zeros((64, 96, 19), np.float32)),
+        (64, 96), cfg)
+    assert int(np.asarray(res.n_kept)) == 0
+    assert (np.asarray(res.panoptic) == 255).all()
