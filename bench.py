@@ -38,7 +38,15 @@ def main():
         decode_pair, extract_features, init_model)
     from slotvps_tpu.models.postprocess import postprocess_frame
 
-    cfg = r50_fpn_slotvps().model
+    import dataclasses
+
+    base = r50_fpn_slotvps().model
+    # production-tuned: bf16 activations (params fp32, norm stats fp32,
+    # logits/masks/postproc fp32) + Pallas one-hot-matmul DCN kernel
+    cfg = dataclasses.replace(
+        base, compute_dtype="bfloat16",
+        semantic_head=dataclasses.replace(
+            base.semantic_head, dcn_impl="pallas"))
     params = init_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

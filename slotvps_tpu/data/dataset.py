@@ -79,3 +79,79 @@ class CityscapesVPSDataset:
     def __iter__(self) -> Iterator[Dict]:
         for i in range(len(self)):
             yield self[i]
+
+    # ------------------------------------------------------------------
+    # training-mode support (reference cityscapes_vps.py:108-251)
+    # ------------------------------------------------------------------
+
+    def _ann_by_image(self):
+        if not hasattr(self, "_ann_index"):
+            idx: Dict[int, list] = {}
+            for ann in self.anns:
+                idx.setdefault(ann["image_id"], []).append(ann)
+            self._ann_index = idx
+        return self._ann_index
+
+    def parse_ann_info(self, idx: int) -> Dict:
+        """bboxes/labels/masks(raw)/obj_ids for one image
+        (reference cityscapes_vps.py:273-327)."""
+        info = self.img_infos[idx]
+        cat2label = {c["id"]: i + 1 for i, c in enumerate(self.categories)}
+        bboxes, labels, obj_ids, masks, ignore = [], [], [], [], []
+        for ann in self._ann_by_image().get(info["id"], []):
+            if ann.get("ignore", False):
+                continue
+            x1, y1, w, h = ann["bbox"]
+            if ann["area"] <= 0 or w < 1 or h < 1:
+                continue
+            bbox = [x1, y1, x1 + w - 1, y1 + h - 1]
+            if ann.get("iscrowd", False):
+                ignore.append(bbox)
+                continue
+            bboxes.append(bbox)
+            labels.append(cat2label.get(ann["category_id"],
+                                        ann["category_id"]))
+            masks.append(ann.get("segmentation"))
+            obj_ids.append(ann.get("inst_id", -1))
+        return dict(
+            bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
+            labels=np.asarray(labels, np.int64),
+            obj_ids=np.asarray(obj_ids, np.int64),
+            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+            masks=masks,
+        )
+
+    def sample_ref_index(self, idx: int, offsets, rng) -> Optional[int]:
+        """Training reference-frame sampling grammar
+        (reference cityscapes_vps.py:108-197): '0' = same frame,
+        '0_shift_N' = uniform in [-N, N], a list = explicit offsets,
+        'all' = any frame of the video."""
+        vid, fid = self.frame_ids(idx)
+        same_vid = [i for i in range(len(self))
+                    if self.frame_ids(i)[0] == vid]
+        if offsets == "0":
+            return idx
+        if isinstance(offsets, str) and offsets.startswith("0_shift_"):
+            n = int(offsets.split("_")[-1])
+            cands = [i for i in same_vid
+                     if abs(self.frame_ids(i)[1] - fid) <= n]
+        elif offsets == "all":
+            cands = list(same_vid)
+        elif isinstance(offsets, (list, tuple)):
+            wanted = {fid + o for o in offsets}
+            cands = [i for i in same_vid if self.frame_ids(i)[1] in wanted]
+        else:
+            raise ValueError(f"unknown offsets grammar: {offsets!r}")
+        if not cands:
+            return None
+        return int(cands[rng.integers(0, len(cands))])
+
+    @staticmethod
+    def gt_pids(gt_obj_ids: np.ndarray, ref_obj_ids: np.ndarray
+                ) -> np.ndarray:
+        """Track-id labels: 1-based index into the reference frame's
+        instances, 0 = new object (reference cityscapes_vps.py:233-251)."""
+        ref = list(ref_obj_ids)
+        return np.asarray(
+            [ref.index(i) + 1 if i in ref else 0 for i in gt_obj_ids],
+            np.int64)

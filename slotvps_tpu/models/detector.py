@@ -104,6 +104,7 @@ def extract_features(params: Dict, cfg: ModelConfig,
     vps_temporal_slots.py:245-268 (extract_feat + extract_semantic_feats +
     semantic_trans_ins) for a single frame.
     """
+    img = img.astype(jnp.dtype(cfg.compute_dtype))
     feats = apply_backbone(params, cfg, img)
     fpn_outs = apply_fpn(params["fpn"], feats, num_outs=cfg.fpn.num_outs)
     fcn_output, _, feat_before = apply_semantic_head(

@@ -124,9 +124,11 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # statistics in f32: bf16 accumulation over the feature dim is lossy
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
@@ -134,10 +136,10 @@ def group_norm(p, x, num_groups=32, eps=1e-5):
     """GroupNorm over NHWC (channels last), matching torch nn.GroupNorm."""
     *lead, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(*lead, h, w, g, c // g)
+    xg = x.reshape(*lead, h, w, g, c // g).astype(jnp.float32)
     mean = jnp.mean(xg, axis=(-4, -3, -1), keepdims=True)
     var = jnp.var(xg, axis=(-4, -3, -1), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xg = ((xg - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     y = xg.reshape(*lead, h, w, c)
     return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 

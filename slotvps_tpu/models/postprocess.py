@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from slotvps_tpu.config import ModelConfig, PostprocessConfig
-from slotvps_tpu.ops.interpolate import interpolate_bilinear
+from slotvps_tpu.ops.interpolate import (interpolate_bilinear, upsample_x4_bilinear)
 
 _NEG = -1e30
 
@@ -71,21 +71,22 @@ def _slot_order(scores, classes, cfg: PostprocessConfig):
     return perm, valid
 
 
-def _mask_removal_scan(raw, prob, labels, is_thing, valid,
+def _mask_removal_scan(logit, labels, is_thing, valid,
                        cfg: PostprocessConfig):
     """Greedy per-slot claim loop (reference :601-639).
 
-    raw/prob: [K, H, W]; returns (kept [K] bool, owner [H, W] int32 —
-    claiming slot position or -1)."""
-    k, h, w = raw.shape
-    logit = (prob >= cfg.pixel_threshold) & valid[:, None, None]
+    logit: [K, H, W] bool binarized masks (softmax >= pixel_threshold over
+    valid slots).  Returns (kept [K] bool, owner [H, W] int8 — claiming
+    slot position or -1)."""
+    k, h, w = logit.shape
+    assert k <= 127  # owner maps are int8
     mask_sum = logit.reshape(k, -1).sum(axis=1)
 
     def step(carry, i):
         owner, owner_class = carry
         lg = logit[i]
         n = mask_sum[i]
-        cls = labels[i]
+        cls = labels[i].astype(jnp.int8)
         same_class_claimed = (owner >= 0) & (owner_class == cls)
         overlap = (lg & same_class_claimed).sum()
         degenerate = (n == 0) | (n == h * w)
@@ -93,11 +94,11 @@ def _mask_removal_scan(raw, prob, labels, is_thing, valid,
                                > cfg.fraction_threshold)
         keep_i = valid[i] & is_thing[i] & ~reject
         claim = lg & (owner < 0) & keep_i
-        owner = jnp.where(claim, i, owner)
+        owner = jnp.where(claim, i.astype(jnp.int8), owner)
         owner_class = jnp.where(claim, cls, owner_class)
         return (owner, owner_class), keep_i
 
-    init = (jnp.full((h, w), -1, jnp.int32), jnp.full((h, w), -1, jnp.int32))
+    init = (jnp.full((h, w), -1, jnp.int8), jnp.full((h, w), -1, jnp.int8))
     (owner, _), keep_things = jax.lax.scan(step, init, jnp.arange(k))
     if not cfg.apply_mask_removal_only_ins:
         raise NotImplementedError(
@@ -120,14 +121,19 @@ def _dedup_map(labels, is_thing, kept):
     return jnp.where(mapped < k, mapped, pos)
 
 
-def _argmax_pass(final_vals, kept, dedup, labels, is_thing):
-    """[K, H, W] masked argmax + per-slot areas (reference get_ids_area)."""
-    k = final_vals.shape[0]
-    vals = jnp.where(kept[:, None, None], final_vals, _NEG)
-    m_id = jnp.argmax(vals, axis=0).astype(jnp.int32)
+def _argmax_pass(final_vals_hwk, kept, dedup, labels, is_thing):
+    """[H, W, K] masked argmax + per-slot areas (reference get_ids_area).
+
+    K rides the minor (lane) axis so the argmax reduction runs at full VPU
+    bandwidth."""
+    k = final_vals_hwk.shape[-1]
+    vals = jnp.where(kept, final_vals_hwk, _NEG)
+    m_id = jnp.argmax(vals, axis=-1).astype(jnp.int32)
     if dedup:
         m_id = _dedup_map(labels, is_thing, kept)[m_id]
-    areas = jnp.zeros((k,), jnp.int32).at[m_id].add(1)
+    # broadcast-compare reduction: ~20x faster than a 2M-index scatter-add
+    areas = (m_id[..., None] == jnp.arange(k, dtype=jnp.int32)).sum(
+        axis=(0, 1), dtype=jnp.int32)
     areas = jnp.where(kept, areas, 0)
     return m_id, areas
 
@@ -157,26 +163,34 @@ def postprocess_frame(
     is_thing = classes > cfg.num_stuff - 1
 
     # upsample to full res (reference :697-698, bilinear align_corners=False)
-    raw = interpolate_bilinear(
-        masks.transpose(1, 2, 0), (h, w), align_corners=False
-    ).transpose(2, 0, 1)
+    # [K, h, w] -> [H, W, K]: slots on the minor axis for fast reductions
+    masks_hwk = masks.transpose(1, 2, 0)
+    if (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
+        raw_hwk = upsample_x4_bilinear(masks_hwk)
+    else:
+        raw_hwk = interpolate_bilinear(masks_hwk, (h, w),
+                                       align_corners=False)
 
     if cfg.apply_mask_removal:
-        # softmax over *valid* slots per pixel (reference :572)
-        mx = jnp.max(jnp.where(valid[:, None, None], raw, _NEG), axis=0,
-                     keepdims=True)
-        ex = jnp.where(valid[:, None, None], jnp.exp(raw - mx), 0.0)
-        prob = ex / jnp.maximum(ex.sum(axis=0, keepdims=True), 1e-30)
-        kept, owner = _mask_removal_scan(raw, prob, classes, is_thing,
+        # binarize the per-pixel softmax over *valid* slots (reference :572,
+        # :606-608) without materializing it:  softmax_k(x) >= thr  iff
+        # x_k >= log(thr) + logsumexp over valid slots
+        masked = jnp.where(valid, raw_hwk, _NEG)
+        mx = jnp.max(masked, axis=-1, keepdims=True)
+        lse = mx + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp(masked - mx), axis=-1, keepdims=True), 1e-30))
+        theta = jnp.log(cfg.pixel_threshold) + lse      # [H, W, 1]
+        logit_khw = ((raw_hwk >= theta) & valid).transpose(2, 0, 1)
+        kept, owner = _mask_removal_scan(logit_khw, classes, is_thing,
                                          valid, cfg)
         pos = jnp.arange(k)
         final_vals = jnp.where(
-            is_thing[:, None, None],
-            jnp.where(owner[None] == pos[:, None, None], raw, 0.0),
-            raw)
+            is_thing,
+            jnp.where(owner[..., None] == pos, raw_hwk, 0.0),
+            raw_hwk)
     else:
         kept = valid
-        final_vals = raw
+        final_vals = raw_hwk
 
     # argmax fusion + iterative small-area filter (reference :758-790)
     if cfg.filter_small_option == "4":

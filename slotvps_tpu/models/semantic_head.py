@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from slotvps_tpu.config import SemanticHeadConfig
 from slotvps_tpu.models import layers as L
 from slotvps_tpu.ops.deform_conv import deform_conv2d
-from slotvps_tpu.ops.interpolate import interpolate_bilinear
+from slotvps_tpu.ops.interpolate import (upsample_int_bilinear, upsample_x4_bilinear)
 
 
 def _init_dcn_block(key, c_in, c_out):
@@ -55,9 +55,17 @@ def init_semantic_head(key, cfg: SemanticHeadConfig) -> Dict:
     }
 
 
-def _dcn_block(p, x, gn_groups):
+def _dcn_block(p, x, gn_groups, impl="jax"):
     offset = L.conv2d(p["offset"], x, padding=1)
-    out = deform_conv2d(x, offset, p["conv"]["w"], padding=1)
+    if impl == "pallas":
+        from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+        out = deform_conv2d_pallas(x, offset, p["conv"]["w"])
+    elif impl == "pallas_f32":
+        from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+        out = deform_conv2d_pallas(x, offset, p["conv"]["w"],
+                                   compute_dtype=jnp.float32)
+    else:
+        out = deform_conv2d(x, offset, p["conv"]["w"], padding=1)
     out = L.group_norm(p["gn"], out, num_groups=gn_groups)
     return L.relu(out)
 
@@ -76,7 +84,7 @@ def apply_semantic_head(
     fpn_px = []
     for x in inputs:
         for block in params["tower"]:
-            x = _dcn_block(block, x, cfg.gn_groups)
+            x = _dcn_block(block, x, cfg.gn_groups, impl=cfg.dcn_impl)
         fpn_px.append(x)
 
     feat_before = fpn_px[:cfg.num_levels][::-1]
@@ -84,12 +92,10 @@ def apply_semantic_head(
     h, w = fpn_px[0].shape[1:3]
     ups = [fpn_px[0]]
     for lvl in range(1, 4):
-        ups.append(interpolate_bilinear(fpn_px[lvl], (h, w),
-                                        align_corners=False))
+        ups.append(upsample_int_bilinear(fpn_px[lvl], 2 ** lvl))
     feat = jnp.concatenate(ups, axis=-1)
     fcn_score = L.conv2d(params["conv_pred"], feat, padding=0)
-    fcn_output = interpolate_bilinear(fcn_score, (4 * h, 4 * w),
-                                      align_corners=False)
+    fcn_output = upsample_x4_bilinear(fcn_score)
     return fcn_output, fcn_score, feat_before
 
 

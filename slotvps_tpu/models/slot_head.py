@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from slotvps_tpu.config import SlotHeadConfig
 from slotvps_tpu.models import layers as L
-from slotvps_tpu.ops.interpolate import upsample_x2_bilinear
+from slotvps_tpu.ops.interpolate import upsample_int_bilinear
 
 # ---------------------------------------------------------------------------
 # init
@@ -227,9 +227,9 @@ def apply_slot_head(
         if lvl > 0:
             if cfg.merge_operation == "concat":
                 curr = jnp.concatenate(
-                    (upsample_x2_bilinear(updated[lvl - 1]), curr), axis=-1)
+                    (upsample_int_bilinear(updated[lvl - 1], 2), curr), axis=-1)
             else:
-                curr = curr + upsample_x2_bilinear(updated[lvl - 1])
+                curr = curr + upsample_int_bilinear(updated[lvl - 1], 2)
             curr = L.conv2d(params["conv_trans"], curr, padding=0)
         elif cfg.dh_dim != curr.shape[-1] \
                 and cfg.trans_in_dim == curr.shape[-1] * 3:

@@ -103,3 +103,47 @@ def upsample_x2_bilinear(x: jnp.ndarray, align_corners: bool = False) -> jnp.nda
     """``F.interpolate(x, scale_factor=2, mode='bilinear')``."""
     h, w = x.shape[-3], x.shape[-2]
     return interpolate_bilinear(x, (2 * h, 2 * w), align_corners)
+
+
+def _upsample_int_axis(x: jnp.ndarray, axis: int, s: int) -> jnp.ndarray:
+    """Exact integer-factor bilinear upsample (align_corners=False) along
+    one axis via the ``s`` fixed interpolation phases — dense FMAs instead
+    of gathers (the gather-based path runs at ~45 GB/s on TPU; this fuses
+    at full VPU bandwidth).  Matches torch: phase p samples at
+    src = i + (2p+1-s)/(2s), edge-clamped (== edge replication)."""
+    n = x.shape[axis]
+
+    def take(lo, hi):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(lo, hi)
+        return x[tuple(sl)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+    dtype = x.dtype
+    phases = []
+    for p in range(s):
+        off = (2 * p + 1 - s) / (2 * s)
+        if off < 0:
+            phases.append(jnp.asarray(-off, dtype) * prev
+                          + jnp.asarray(1 + off, dtype) * x)
+        elif off == 0:
+            phases.append(x)
+        else:
+            phases.append(jnp.asarray(1 - off, dtype) * x
+                          + jnp.asarray(off, dtype) * nxt)
+    out = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = s * n
+    return out.reshape(shape)
+
+
+def upsample_int_bilinear(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """``F.interpolate(x, scale_factor=s, mode='bilinear',
+    align_corners=False)`` on [..., H, W, C], exact and gather-free."""
+    x = _upsample_int_axis(x, x.ndim - 3, s)
+    return _upsample_int_axis(x, x.ndim - 2, s)
+
+
+def upsample_x4_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    return upsample_int_bilinear(x, 4)

@@ -58,3 +58,22 @@ def test_bilinear_x4_align_true_matches_torch(rng):
     ours = np.asarray(interpolate_bilinear(x, (64, 80), align_corners=True))
     theirs = _torch_resize(x, (64, 80), "bilinear", True)
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_x4_exact_matches_torch(rng):
+    from slotvps_tpu.ops.interpolate import upsample_x4_bilinear
+
+    x = rng.standard_normal((2, 9, 13, 5), dtype=np.float32)
+    ours = np.asarray(upsample_x4_bilinear(x))
+    theirs = _torch_resize(x, (36, 52), "bilinear", False)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("s", [2, 3, 4, 8])
+def test_upsample_int_matches_torch(rng, s):
+    from slotvps_tpu.ops.interpolate import upsample_int_bilinear
+
+    x = rng.standard_normal((1, 7, 9, 4), dtype=np.float32)
+    ours = np.asarray(upsample_int_bilinear(x, s))
+    theirs = _torch_resize(x, (7 * s, 9 * s), "bilinear", False)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
