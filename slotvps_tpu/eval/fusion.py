@@ -200,6 +200,23 @@ def convert_2ch_track(
     return annotations, pan_all
 
 
+def convert_2ch_single(
+    pan_2ch_set: Sequence[np.ndarray],
+    color_generator: IdGenerator,
+) -> Tuple[List[dict], List[np.ndarray]]:
+    """Per-frame (no tube memory) color assignment — the single-frame PQ
+    path used for VIPER-style evaluation
+    (reference tools/dataset/base_dataset.py:301-351
+    ``_converter_2ch_single_core``).  Thing colors restart per frame."""
+    annotations, pan_all = [], []
+    for pan_2ch in pan_2ch_set:
+        anno, pans = convert_2ch_track([pan_2ch], IdGenerator(
+            color_generator.categories))
+        annotations.extend(anno)
+        pan_all.extend(pans)
+    return annotations, pan_all
+
+
 def inference_panoptic_video(
     pred_pans_2ch: Sequence[np.ndarray],
     output_dir: Optional[str],

@@ -242,3 +242,18 @@ def test_golden_unify_vs_reference(rng):
     theirs = [theirs[k] for k in sorted(theirs.keys())]
     for o, t in zip(ours, theirs):
         assert np.array_equal(o, t)
+
+
+def test_convert_2ch_single_per_frame_colors():
+    from slotvps_tpu.eval.fusion import convert_2ch_single
+
+    cats = {c["id"]: c for c in CITYSCAPES_CATEGORIES}
+    gen = IdGenerator(cats)
+    f = np.zeros((4, 4, 3), dtype=np.uint8)
+    f[:, :, 0] = 13
+    f[:, :, 1] = 1
+    f[:, :, 2] = 1
+    annos, pans = convert_2ch_single([f, f], gen)
+    # same id both frames (colors restart per frame)
+    assert np.array_equal(pans[0], pans[1])
+    assert len(annos) == 2

@@ -65,3 +65,15 @@ def test_swin_backbone_shapes():
     outs = apply_swin(params, img, cfg)
     assert [o.shape for o in outs] == [
         (1, 16, 24, 32), (1, 8, 12, 64), (1, 4, 6, 128), (1, 2, 3, 256)]
+
+
+def test_context_block(rng):
+    from slotvps_tpu.models.context_block import (
+        apply_context_block, init_context_block)
+
+    p = init_context_block(jax.random.PRNGKey(0), 32)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 32)), jnp.float32)
+    y = apply_context_block(p, x)
+    assert y.shape == x.shape
+    # zero-init final conv => identity at init (GCNet convention)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
