@@ -46,7 +46,9 @@ def main():
     cfg = dataclasses.replace(
         base, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(
-            base.semantic_head, dcn_impl="pallas"))
+            base.semantic_head, dcn_impl="pallas"),
+        postprocess=dataclasses.replace(
+            base.postprocess, impl="pallas"))
     params = init_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

@@ -51,7 +51,22 @@ def parse_args(argv=None):
     p.add_argument("--pan_gt_json_file", default=None)
     p.add_argument("--pan_im_json_file", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tuned", action="store_true",
+                   help="TPU-tuned kernels: bf16 activations, Pallas DCN, "
+                        "VMEM-resident postproc claim scan")
     return p.parse_args(argv)
+
+
+def tune_config(cfg):
+    import dataclasses
+
+    m = cfg.model
+    m = dataclasses.replace(
+        m, compute_dtype="bfloat16",
+        semantic_head=dataclasses.replace(m.semantic_head,
+                                          dcn_impl="pallas"),
+        postprocess=dataclasses.replace(m.postprocess, impl="pallas"))
+    return dataclasses.replace(cfg, model=m)
 
 
 def build_params(args, cfg):
@@ -73,6 +88,8 @@ def build_params(args, cfg):
 def main(argv=None):
     args = parse_args(argv)
     cfg = named_config(args.config)
+    if args.tuned:
+        cfg = tune_config(cfg)
     os.makedirs(osp.dirname(args.out) or ".", exist_ok=True)
     output_dir = args.out.replace(".pkl", "_pans_unified/")
     cache = args.out.replace(".pkl", "_pred_pans_2ch.pkl")

@@ -150,6 +150,10 @@ class PostprocessConfig:
     filter_small_option: str = "4"  # '4' | '4_256' | '4096_256'
     num_classes: int = 20
     num_stuff: int = 11
+    # 'jax' = pure-XLA pipeline; 'pallas' = VMEM-resident claim-scan kernel;
+    # 'fused' = fully fused TPU kernels that never materialize the
+    # [H, W, K] upsampled mask stack (ops/pallas/postproc_fused.py)
+    impl: str = "jax"
 
 
 @_frozen

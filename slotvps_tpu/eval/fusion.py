@@ -33,6 +33,7 @@ def unify_pan_result(
     obj_ids: Optional[Sequence[np.ndarray]] = None,
     stuff_area_limit: int = 4 * 64 * 64,
     id_last_stuff: int = 10,
+    use_native: bool = True,
 ) -> List[np.ndarray]:
     """Reconcile per-frame semantic + instance outputs into 3-channel maps.
 
@@ -79,6 +80,15 @@ def unify_pan_result(
             # (reference :251-252)
             pan[pan > id_last_stuff] = 255
             pan_seg = pan.copy()
+
+        if use_native and len(cls_ind) > 0:
+            from slotvps_tpu import native
+
+            res = native.unify_frame_native(
+                seg, pan, cls_ind, obj_id, stuff_area_limit, id_last_stuff)
+            if res is not None:
+                out.append(res)
+                continue
         pan_ins = pan.copy()
         pan_obj = pan.copy()
         ids = np.unique(pan)

@@ -138,6 +138,81 @@ def _argmax_pass(final_vals_hwk, kept, dedup, labels, is_thing):
     return m_id, areas
 
 
+def _finish(kept, m_id, classes, scores, embeds, is_thing, fcn_output, cfg):
+    """Panoptic id remap + result assembly (shared by all impls)."""
+    kept_thing = kept & is_thing
+    thing_rank = jnp.where(kept_thing,
+                           jnp.cumsum(kept_thing.astype(jnp.int32)) - 1, -1)
+    slot_value = jnp.where(kept_thing, cfg.num_stuff + thing_rank,
+                           jnp.where(kept, classes, 255))
+    any_kept = jnp.any(kept)
+    panoptic = jnp.where(any_kept, slot_value[m_id], 255).astype(jnp.int32)
+    sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
+    return PostprocResult(
+        kept=kept, is_thing=is_thing, labels=classes, scores=scores,
+        embeddings=embeds, thing_rank=thing_rank.astype(jnp.int32),
+        panoptic=panoptic, sseg=sseg,
+        n_kept=kept.sum().astype(jnp.int32),
+        n_things=kept_thing.sum().astype(jnp.int32))
+
+
+def _small_fn(cfg: PostprocessConfig):
+    if cfg.filter_small_option == "4":
+        return lambda areas, cls: areas <= 4
+    if cfg.filter_small_option == "4_256":
+        return lambda areas, cls: jnp.where(cls > cfg.num_stuff - 1,
+                                            areas < 256, areas < 4)
+    if cfg.filter_small_option == "4096_256":
+        return lambda areas, cls: jnp.where(cls > cfg.num_stuff - 1,
+                                            areas < 256, areas < 4096)
+    raise ValueError(cfg.filter_small_option)
+
+
+def _postprocess_fused(masks_hwk, scores, classes, valid, embeds, is_thing,
+                       fcn_output, cfg: PostprocessConfig):
+    """Fully fused TPU path: the [H, W, K] upsampled stack never exists
+    (ops/pallas/postproc_fused.py)."""
+    from slotvps_tpu.ops.pallas.postproc_fused import (
+        argmax_areas_pallas, claim_scan_fused, theta_pallas)
+
+    if not cfg.apply_mask_removal_only_ins:
+        raise NotImplementedError(
+            "only apply_mask_removal_only_ins=True is supported")
+    theta = theta_pallas(masks_hwk, valid, cfg.pixel_threshold)
+    keep_things, owner = claim_scan_fused(
+        masks_hwk, theta, classes, is_thing, valid, cfg.fraction_threshold)
+    kept = jnp.where(is_thing, keep_things, valid)
+    small = _small_fn(cfg)
+
+    def one_pass(kept_, dedup):
+        m_id, areas = argmax_areas_pallas(masks_hwk, owner, kept_, is_thing)
+        if dedup:
+            dmap = _dedup_map(classes, is_thing, kept_)
+            m_id = dmap[m_id]
+            k = areas.shape[0]
+            fold = (dmap[None, :] == jnp.arange(k)[:, None]).astype(
+                jnp.int32)
+            areas = fold @ areas
+        areas = jnp.where(kept_, areas, 0)
+        return m_id, areas
+
+    m_id, areas = one_pass(kept, True)
+
+    def cond(state):
+        kept_, _, areas_ = state
+        return jnp.any(kept_ & small(areas_, classes)) & jnp.any(kept_)
+
+    def body(state):
+        kept_, _, areas_ = state
+        kept_ = kept_ & ~small(areas_, classes)
+        m_id_, areas_ = one_pass(kept_, False)
+        return kept_, m_id_, areas_
+
+    kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
+    return _finish(kept, m_id, classes, scores, embeds, is_thing,
+                   fcn_output, cfg)
+
+
 def postprocess_frame(
     pred_logits: jnp.ndarray,   # [K, C]
     pred_masks: jnp.ndarray,    # [K, h, w] quarter-res logits
@@ -162,9 +237,14 @@ def postprocess_frame(
     masks = pred_masks[perm]
     is_thing = classes > cfg.num_stuff - 1
 
+    masks_hwk = masks.transpose(1, 2, 0)
+    if cfg.impl == "fused" and cfg.apply_mask_removal \
+            and (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
+        return _postprocess_fused(masks_hwk, scores, classes, valid,
+                                  embeds, is_thing, fcn_output, cfg)
+
     # upsample to full res (reference :697-698, bilinear align_corners=False)
     # [K, h, w] -> [H, W, K]: slots on the minor axis for fast reductions
-    masks_hwk = masks.transpose(1, 2, 0)
     if (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
         raw_hwk = upsample_x4_bilinear(masks_hwk)
     else:
@@ -181,8 +261,19 @@ def postprocess_frame(
             jnp.sum(jnp.exp(masked - mx), axis=-1, keepdims=True), 1e-30))
         theta = jnp.log(cfg.pixel_threshold) + lse      # [H, W, 1]
         logit_khw = ((raw_hwk >= theta) & valid).transpose(2, 0, 1)
-        kept, owner = _mask_removal_scan(logit_khw, classes, is_thing,
-                                         valid, cfg)
+        if cfg.impl == "pallas":
+            from slotvps_tpu.ops.pallas.claim_scan import claim_scan_pallas
+
+            if not cfg.apply_mask_removal_only_ins:
+                raise NotImplementedError(
+                    "only apply_mask_removal_only_ins=True is supported")
+            keep_things, owner = claim_scan_pallas(
+                logit_khw, classes, is_thing, valid,
+                cfg.fraction_threshold)
+            kept = jnp.where(is_thing, keep_things, valid)
+        else:
+            kept, owner = _mask_removal_scan(logit_khw, classes, is_thing,
+                                             valid, cfg)
         pos = jnp.arange(k)
         final_vals = jnp.where(
             is_thing,
@@ -193,19 +284,7 @@ def postprocess_frame(
         final_vals = raw_hwk
 
     # argmax fusion + iterative small-area filter (reference :758-790)
-    if cfg.filter_small_option == "4":
-        def small(areas, cls):
-            return areas <= 4
-    elif cfg.filter_small_option == "4_256":
-        def small(areas, cls):
-            return jnp.where(cls > cfg.num_stuff - 1, areas < 256, areas < 4)
-    elif cfg.filter_small_option == "4096_256":
-        def small(areas, cls):
-            return jnp.where(cls > cfg.num_stuff - 1, areas < 256,
-                             areas < 4096)
-    else:
-        raise ValueError(cfg.filter_small_option)
-
+    small = _small_fn(cfg)
     m_id, areas = _argmax_pass(final_vals, kept, True, classes, is_thing)
 
     def cond(state):
@@ -220,27 +299,6 @@ def postprocess_frame(
         return kept_, m_id_, areas_
 
     kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
-
     # panoptic id remap (reference :414-435): thing -> stuff_num + rank
-    kept_thing = kept & is_thing
-    thing_rank = jnp.where(kept_thing,
-                           jnp.cumsum(kept_thing.astype(jnp.int32)) - 1, -1)
-    slot_value = jnp.where(kept_thing, cfg.num_stuff + thing_rank,
-                           jnp.where(kept, classes, 255))
-    any_kept = jnp.any(kept)
-    panoptic = jnp.where(any_kept, slot_value[m_id], 255).astype(jnp.int32)
-
-    sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
-
-    return PostprocResult(
-        kept=kept,
-        is_thing=is_thing,
-        labels=classes,
-        scores=scores,
-        embeddings=embeds,
-        thing_rank=thing_rank.astype(jnp.int32),
-        panoptic=panoptic,
-        sseg=sseg,
-        n_kept=kept.sum().astype(jnp.int32),
-        n_things=kept_thing.sum().astype(jnp.int32),
-    )
+    return _finish(kept, m_id, classes, scores, embeds, is_thing,
+                   fcn_output, cfg)

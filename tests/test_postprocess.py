@@ -199,3 +199,42 @@ def test_no_kept_slots_all_void():
         (64, 96), cfg)
     assert int(np.asarray(res.n_kept)) == 0
     assert (np.asarray(res.panoptic) == 255).all()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_impl_matches_jax(seed):
+    """The fully fused Pallas postproc path (interpret mode on CPU) must
+    produce the same result as the XLA path."""
+    import dataclasses
+
+    import jax as _jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(seed)
+    logits, masks, cfg = _case(rng)
+    cfg_fused = dataclasses.replace(cfg, impl="fused")
+    out_size = (64, 96)
+    fcn = rng.standard_normal((*out_size, 19)).astype(np.float32)
+    emb = rng.standard_normal((K, D)).astype(np.float32)
+    args = (jax.numpy.asarray(logits), jax.numpy.asarray(masks),
+            jax.numpy.asarray(emb), jax.numpy.asarray(fcn))
+
+    ref = postprocess_frame(*args, out_size, cfg)
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() == "cpu" else _nullcontext())
+    with ctx:
+        fused = postprocess_frame(*args, out_size, cfg_fused)
+    np.testing.assert_array_equal(np.asarray(fused.kept),
+                                  np.asarray(ref.kept))
+    np.testing.assert_array_equal(np.asarray(fused.panoptic),
+                                  np.asarray(ref.panoptic))
+    np.testing.assert_array_equal(np.asarray(fused.thing_rank),
+                                  np.asarray(ref.thing_rank))
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
