@@ -134,12 +134,19 @@ def decode_pair(params: Dict, cfg: ModelConfig,
     (vps_temporal_slots.py:270-308 + generate_final_outputs :144-160)."""
     pos = _position_embeddings(cfg, cur_feats.feat_trans)
     ref_pos = _position_embeddings(cfg, ref_feats.feat_trans)
+    if cfg.slot_head.retriever_impl == "pallas":
+        from slotvps_tpu.ops.pallas.slot_attention import (
+            retriever_attention_pallas)
+
+        retriever_fn = retriever_attention_pallas
+    else:
+        retriever_fn = retriever_attention
     all_logits, all_embeds, all_feats = apply_slot_head(
         params["slot_head"], cfg.slot_head,
         features=[list(ref_feats.feat_trans), list(cur_feats.feat_trans)],
         init_queries=params["init_mask_query"],
         pos=[ref_pos, pos],
-        retriever_fn=retriever_attention,
+        retriever_fn=retriever_fn,
     )
     logits = all_logits[1][-1]      # current frame, last stage [B, L, C]
     embeds = all_embeds[1][-1]      # [B, L, D]

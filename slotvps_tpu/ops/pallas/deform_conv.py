@@ -60,21 +60,25 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
     r_of = roff_ref[:]  # [1, flat_k] int32: q // wwin
     m_of = moff_ref[:]  # [1, flat_k] int32: q %  wwin
 
+    # double-buffered tile windows: tile t+1's rows stream in while tile t
+    # computes.  window rows [y+1, y+1+rbuf), cols [t*tile, t*tile+wwin) of
+    # padded x, written flat: xflat[s, r*wwin:(r+1)*wwin] = xp[y+1+r, cols]
+    def tile_dma(t, slot):
+        return [pltpu.make_async_copy(
+            x_hbm.at[y + 1 + r, pl.ds(t * tile, wwin)],
+            xflat.at[slot, pl.ds(r * wwin, wwin)],
+            sems.at[slot, r]) for r in range(rbuf)]
+
+    for cp in tile_dma(0, 0):
+        cp.start()
+
     for t in range(n_tiles):
-        # window rows [y+1, y+1+rbuf), cols [t*tile, t*tile+wwin) of padded
-        # x, written flat: xflat[r*wwin:(r+1)*wwin] = xp[y+1+r, cols]
-        for r in range(rbuf):
-            pltpu.make_async_copy(
-                x_hbm.at[y + 1 + r, pl.ds(t * tile, wwin)],
-                xflat.at[pl.ds(r * wwin, wwin)],
-                sems.at[r],
-            ).start()
-        for r in range(rbuf):
-            pltpu.make_async_copy(
-                x_hbm.at[y + 1 + r, pl.ds(t * tile, wwin)],
-                xflat.at[pl.ds(r * wwin, wwin)],
-                sems.at[r],
-            ).wait()
+        slot = t % 2
+        if t + 1 < n_tiles:
+            for cp in tile_dma(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in tile_dma(t, slot):
+            cp.wait()
 
         out = jnp.zeros((tile, c_out), jnp.float32)
         for g in range(0, 9, _GROUP):
@@ -106,7 +110,7 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
                 m_rows.append((row_top + row_bot).astype(compute_dtype))
             m_g = jnp.concatenate(m_rows, axis=0)        # [G*tile, flat_k]
             s_g = jax.lax.dot_general(
-                m_g, xflat[:], (((1,), (0,)), ((), ())),
+                m_g, xflat[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision)                      # [G*tile, C]
             for i, k in enumerate(range(g, g + _GROUP)):
@@ -172,8 +176,8 @@ def deform_conv2d_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((h, w, c_out), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((flat_k, c_in), compute_dtype),
-                pltpu.SemaphoreType.DMA((rbuf,)),
+                pltpu.VMEM((2, flat_k, c_in), compute_dtype),
+                pltpu.SemaphoreType.DMA((2, rbuf)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
