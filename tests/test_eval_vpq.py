@@ -192,3 +192,33 @@ def test_golden_vs_reference(nframes, rng):
         assert o.iou == pytest.approx(t_.iou), cat
         assert o.ids_sum == t_.ids_sum, cat
         assert o.ids_false == t_.ids_false, cat
+
+
+@pytest.mark.skipif(REF is None, reason="reference evaluator not importable")
+def test_image_pq_golden_vs_reference(rng):
+    """Image PQ (nframes=1 per isolated frame) must equal the reference's
+    single-frame stats."""
+    from slotvps_tpu.eval.pq import pq_compute
+
+    gt_jsons, pred_jsons, gt_pans, pred_pans = [], [], [], []
+    for _ in range(4):
+        gt_map = rng.integers(0, 6, size=(16, 16)).astype(np.uint32)
+        pred_map = gt_map.copy()
+        noise = rng.random((16, 16)) < 0.2
+        pred_map[noise] = rng.integers(0, 6, size=int(noise.sum()))
+        segs = {i: (1 if i < 3 else 2) for i in range(1, 6)}
+        (gj, gp), (pj, pp) = _frame(gt_map, segs), _frame(pred_map, segs)
+        gt_jsons.append(gj)
+        pred_jsons.append(pj)
+        gt_pans.append(gp)
+        pred_pans.append(pp)
+
+    ours = pq_compute(gt_jsons, pred_jsons, gt_pans, pred_pans, CATS)
+    ref_stat = REF.PQStat()
+    for gj, pj, gp, pp in zip(gt_jsons, pred_jsons, gt_pans, pred_pans):
+        ref_stat += REF.vpq_compute_single_core(
+            [(gj, pj, gp, pp, None)], CATS, nframes=1)
+    ref_all, _ = ref_stat.pq_average(CATS, isthing=None)
+    assert ours["All"]["pq"] == pytest.approx(ref_all["pq"])
+    assert ours["All"]["sq"] == pytest.approx(ref_all["sq"])
+    assert ours["All"]["rq"] == pytest.approx(ref_all["rq"])
