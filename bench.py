@@ -6,7 +6,10 @@ on-device panoptic post-processing — exactly what the reference spends its
 per-frame wall clock on (reference tools/test_vpq.py:23-59 +
 vps_temporal_slots.py:207-469).  Steady-state: each frame reuses the
 previous frame's backbone features as its reference features, as the
-streaming pipeline does.
+streaming pipeline does.  BATCH videos are processed in parallel
+(data-parallel batched multi-video inference, BASELINE.json config 5 —
+how the 50-video eval runs at max throughput); BATCH=1 measures pure
+streaming latency instead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": x}
@@ -25,6 +28,7 @@ import numpy as np
 
 BASELINE_FPS = 1.0  # estimated reference per-frame rate (see docstring)
 H, W = 1024, 2048
+BATCH = 4
 WARMUP = 2
 ITERS = 8
 
@@ -55,21 +59,20 @@ def main():
     def frame_step(params, img, ref_feats):
         cur_feats = extract_features(params, cfg, img)
         outs = decode_pair(params, cfg, ref_feats, cur_feats)
-        post = postprocess_frame(
-            outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
-            outs.fcn_output[0], (H, W), cfg.postprocess)
+        posts = [postprocess_frame(
+            outs.pred_logits[i], outs.pred_masks[i], outs.embeddings[i],
+            outs.fcn_output[i], (H, W), cfg.postprocess)
+            for i in range(BATCH)]
         # scalar checksum over every output: reading it back forces the
         # whole step to complete (block_until_ready is async on the
         # tunneled axon platform, so a readback is the only real fence)
-        probe = (post.panoptic.sum() + post.sseg.sum()
-                 + post.kept.sum() + post.labels.sum()
-                 + post.scores.sum().astype(jnp.int32)
-                 + post.embeddings.sum().astype(jnp.int32))
-        return cur_feats, (post.panoptic, post.sseg, post.kept,
-                           post.labels, post.scores, post.embeddings), probe
+        probe = sum(p.panoptic.sum() + p.sseg.sum() + p.kept.sum()
+                    + p.labels.sum() + p.scores.sum().astype(jnp.int32)
+                    + p.embeddings.sum().astype(jnp.int32) for p in posts)
+        return cur_feats, posts, probe
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)), jnp.float32)
 
     @jax.jit
     def _extract(params, img):
@@ -87,10 +90,11 @@ def main():
     _ = np.asarray(probe)  # fence
     dt = (time.perf_counter() - t0) / ITERS
 
-    fps = 1.0 / dt
+    fps = BATCH / dt
     print(json.dumps({
         "metric": "VPS frames/sec/chip at 1024x2048 (r50_fpn_slotvps, "
-                  "full step incl. on-device panoptic postproc)",
+                  "full step incl. on-device panoptic postproc; "
+                  f"{BATCH}-video data-parallel batch)",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -252,9 +252,26 @@ def swinl_fpn_slotvps() -> Config:
     return Config(model=ModelConfig(backbone="swin"))
 
 
+def r50_fpn_slotvps_viper() -> Config:
+    """VIPER dataset variant (reference vps_temporal_slots.py:68-70,220-224:
+    num_classes 24 -> stuff_num 13, iid divisor 100000; 23 semantic classes
+    with 10 things)."""
+    return Config(
+        model=ModelConfig(
+            slot_head=SlotHeadConfig(num_classes=24),
+            semantic_head=SemanticHeadConfig(num_classes=23,
+                                             num_things_classes=10),
+            postprocess=PostprocessConfig(num_classes=24, num_stuff=13),
+        ),
+        data=DataConfig(img_scale=(1920, 1080), iid_divisor=100000),
+        eval=EvalConfig(num_classes=11, num_seg_classes=23),
+    )
+
+
 _NAMED = {
     "r50_fpn_slotvps": r50_fpn_slotvps,
     "swinl_fpn_slotvps": swinl_fpn_slotvps,
+    "r50_fpn_slotvps_viper": r50_fpn_slotvps_viper,
 }
 
 

@@ -152,17 +152,11 @@ def decode_pair(params: Dict, cfg: ModelConfig,
     embeds = all_embeds[1][-1]      # [B, L, D]
     dec_feats = all_feats[1]        # 4 levels, 256ch, coarsest first
 
-    # feat_bn + channel L2-normalize on the finest decoder feature
-    fine = L.batch_norm_eval(params["feat_bn"], dec_feats[-1])
-    fine = fine / jnp.maximum(
-        jnp.linalg.norm(fine, axis=-1, keepdims=True), 1e-12)
-    mask_logits = jnp.einsum("bhwc,blc->blhw", fine, embeds)
-    # fg_bn: BatchNorm2d(1) eval over slot maps == scalar affine
-    p = params["fg_bn"]
-    scale = (p["scale"][0] * jax.lax.rsqrt(p["var"][0] + 1e-5))
-    bias = p["bias"][0] - p["mean"][0] * scale
-    mask_logits = mask_logits * scale.astype(mask_logits.dtype) \
-        + bias.astype(mask_logits.dtype)
+    # feat_bn + channel L2-normalize on the finest decoder feature,
+    # then fg_bn (BatchNorm2d(1) eval over slot maps == scalar affine)
+    fine = _feat_norm(params, dec_feats[-1])
+    mask_logits = _fg_bn(params,
+                         jnp.einsum("bhwc,blc->blhw", fine, embeds))
 
     return FrameOutputs(
         pred_logits=logits.astype(jnp.float32),
@@ -170,6 +164,71 @@ def decode_pair(params: Dict, cfg: ModelConfig,
         embeddings=embeds.astype(jnp.float32),
         fcn_output=cur_feats.fcn_output,
     )
+
+
+def decode_pair_train(params: Dict, cfg: ModelConfig,
+                      ref_feats: FrameFeatures,
+                      cur_feats: FrameFeatures):
+    """Like decode_pair but also returns per-stage auxiliary outputs for
+    deep supervision (reference trains with return_intermediate=True,
+    dynamic_mask_head.py:205-211; aux masks use the feature level of their
+    stage, feat_index = stage // 2 with matched_feat_version=0,
+    vps_temporal_slots.py:161-192)."""
+    pos = _position_embeddings(cfg, cur_feats.feat_trans)
+    ref_pos = _position_embeddings(cfg, ref_feats.feat_trans)
+    all_logits, all_embeds, all_feats = apply_slot_head(
+        params["slot_head"], cfg.slot_head,
+        features=[list(ref_feats.feat_trans), list(cur_feats.feat_trans)],
+        init_queries=params["init_mask_query"],
+        pos=[ref_pos, pos],
+    )
+    dec_feats = all_feats[1]
+    n_stages = all_logits[1].shape[0]
+
+    normed = [
+        _feat_norm(params, f) for f in dec_feats
+    ]
+    fine = normed[-1]
+    h4, w4 = fine.shape[1:3]
+
+    def mask_logits_for(feat, embeds):
+        m = jnp.einsum("bhwc,blc->blhw", feat, embeds)
+        return _fg_bn(params, m)
+
+    final = FrameOutputs(
+        pred_logits=all_logits[1][-1].astype(jnp.float32),
+        pred_masks=mask_logits_for(fine, all_embeds[1][-1]).astype(
+            jnp.float32),
+        embeddings=all_embeds[1][-1].astype(jnp.float32),
+        fcn_output=cur_feats.fcn_output,
+    )
+    aux = []
+    for s in range(n_stages - 1):
+        feat = normed[min(s // 2, len(normed) - 1)]
+        m = mask_logits_for(feat, all_embeds[1][s])
+        if m.shape[-2:] != (h4, w4):
+            from slotvps_tpu.ops.interpolate import upsample_int_bilinear
+
+            scale = h4 // m.shape[-2]
+            m = upsample_int_bilinear(
+                m.transpose(0, 2, 3, 1), scale).transpose(0, 3, 1, 2)
+        aux.append((all_logits[1][s].astype(jnp.float32),
+                    m.astype(jnp.float32)))
+    return final, aux
+
+
+def _feat_norm(params, feat):
+    f = L.batch_norm_eval(params["feat_bn"], feat)
+    return f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def _fg_bn(params, mask_logits):
+    p = params["fg_bn"]
+    scale = p["scale"][0] * jax.lax.rsqrt(p["var"][0] + 1e-5)
+    bias = p["bias"][0] - p["mean"][0] * scale
+    return mask_logits * scale.astype(mask_logits.dtype) \
+        + bias.astype(mask_logits.dtype)
 
 
 def forward_frame(params: Dict, cfg: ModelConfig, img: jnp.ndarray,

@@ -69,15 +69,26 @@ def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
     cur_feats = FrameFeatures(
         feat_trans=tuple(f[b:] for f in feat_trans),
         fcn_output=fcn_score[b:].astype(jnp.float32))
-    outs = decode_pair(params, cfg, ref_feats, cur_feats)
+    from slotvps_tpu.models.detector import decode_pair_train
+
+    outs, aux = decode_pair_train(params, cfg, ref_feats, cur_feats)
 
     per_frame = jax.vmap(
         functools.partial(pq_loss), in_axes=(0, 0, 0, 0, 0))
     losses = per_frame(outs.pred_logits, outs.pred_masks,
                        batch.gt_labels, batch.gt_masks, batch.gt_valid)
+    metrics = {k: v.mean() for k, v in losses.items()}
+    # deep supervision over the intermediate decoder stages (reference
+    # return_intermediate=True, dynamic_mask_head.py:205-211)
+    aux_total = 0.0
+    for a_logits, a_masks in aux:
+        a_losses = per_frame(a_logits, a_masks, batch.gt_labels,
+                             batch.gt_masks, batch.gt_valid)
+        aux_total = aux_total + sum(v.mean() for v in a_losses.values())
+    if aux:
+        metrics["loss_aux"] = aux_total / len(aux)
     loss_sem = semantic_loss(fcn_score[b:], batch.gt_semantic,
                              cfg.semantic_head)
-    metrics = {k: v.mean() for k, v in losses.items()}
     metrics["loss_sem"] = loss_pano_weight * loss_sem
     total = sum(metrics.values())
     metrics["loss_total"] = total

@@ -77,3 +77,42 @@ def test_context_block(rng):
     assert y.shape == x.shape
     # zero-init final conv => identity at init (GCNet convention)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_viper_config_builds():
+    from slotvps_tpu.config import named_config
+
+    cfg = named_config("r50_fpn_slotvps_viper")
+    assert cfg.model.stuff_num == 13
+    assert cfg.model.slot_head.num_classes == 24
+    assert cfg.eval.id_last_stuff == 12
+    assert cfg.data.iid_divisor == 100000
+    params = init_model(jax.random.PRNGKey(0), cfg.model)
+    img = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    outs = jax.jit(lambda p, i: forward_frame(p, cfg.model, i, i))(
+        params, img)
+    assert outs.pred_logits.shape == (1, 100, 24)
+    assert outs.fcn_output.shape == (1, 64, 128, 23)
+
+
+def test_decode_pair_train_aux_outputs(params):
+    from slotvps_tpu.models.detector import (
+        decode_pair_train, extract_features)
+
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 128, 3)).astype(np.float32))
+    feats = jax.jit(lambda p, i: extract_features(p, CFG, i))(params, img)
+    final, aux = jax.jit(
+        lambda p, f: decode_pair_train(p, CFG, f, f))(params, feats)
+    assert len(aux) == 6  # 7 stages - final
+    h4, w4 = final.pred_masks.shape[-2:]
+    for a_logits, a_masks in aux:
+        assert a_logits.shape == (1, 100, 20)
+        assert a_masks.shape[-2:] == (h4, w4)
+    # final outputs must equal decode_pair's
+    from slotvps_tpu.models.detector import decode_pair
+
+    ref = jax.jit(lambda p, f: decode_pair(p, CFG, f, f))(params, feats)
+    np.testing.assert_allclose(np.asarray(final.pred_masks),
+                               np.asarray(ref.pred_masks),
+                               rtol=1e-5, atol=1e-5)
