@@ -137,9 +137,12 @@ def main(argv=None):
     params = init_model(jax.random.PRNGKey(args.seed), cfg.model)
     print(f"Model Params : {params_to_string(count_params(params))}")
     schedule = lr_schedule(args.lr, steps_per_epoch, args.total_epochs)
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, weight_decay=1e-4))
+    from slotvps_tpu.training.step import trainable_mask
+
+    optimizer = optax.masked(
+        optax.chain(optax.clip_by_global_norm(1.0),
+                    optax.adamw(schedule, weight_decay=1e-4)),
+        trainable_mask(params))
     opt_state = optimizer.init(params)
 
     mesh = make_mesh(n_data=n_dev, n_model=1)

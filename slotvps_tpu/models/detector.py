@@ -218,9 +218,14 @@ def decode_pair_train(params: Dict, cfg: ModelConfig,
 
 
 def _feat_norm(params, feat):
+    """feat_bn + channel L2-normalize (reference F.normalize(p=2, dim=1),
+    vps_temporal_slots.py:146-147).  rsqrt(sumsq + eps) instead of
+    x/max(||x||, eps): forward-identical to <1e-6 rel for any non-degenerate
+    feature, and its gradient stays finite at tiny norms (the max() form
+    produced exploding gradients -> NaN within a few training steps)."""
     f = L.batch_norm_eval(params["feat_bn"], feat)
-    return f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True),
-                           1e-12)
+    sumsq = jnp.sum(jnp.square(f), axis=-1, keepdims=True)
+    return f * jax.lax.rsqrt(sumsq + 1e-12)
 
 
 def _fg_bn(params, mask_logits):

@@ -51,7 +51,11 @@ def match_slots(class_probs: jnp.ndarray, dice: jnp.ndarray,
     """
     p_cls = class_probs[:, gt_labels]          # [L, G]
     sim = (p_cls ** temp) * dice
-    cost = jnp.where(gt_valid[None, :], -sim, 0.0)
+    # matching is a discrete decision — stop_gradient the cost.  Without it
+    # the vjp of p**temp (temp<1) is inf at p==0, and inf * zero-cotangent
+    # = NaN poisons every gradient a couple of steps into training.
+    cost = jax.lax.stop_gradient(
+        jnp.where(gt_valid[None, :], -sim, 0.0))
     _, slot_idx = assignment.hungarian_algorithm(cost.T)  # rows = GT
     return slot_idx, gt_valid
 
@@ -90,12 +94,13 @@ def pq_loss(
         matched, 0.0, logp[:, num_classes - 1]).sum() / jnp.maximum(
             (~matched).sum(), 1)
 
-    # mask-id CE: per-pixel slot softmax vs matched slot id
+    # mask-id CE: per-pixel slot softmax vs matched slot id.  Where GT
+    # masks overlap, the first (lowest-index) valid GT owns the pixel.
     logp_pix = jax.nn.log_softmax(mask_logits, axis=0)  # [L, H, W]
-    gt_any = (gt_masks * gt_valid[:, None, None]).max(axis=0) > 0
-    pix_slot = jnp.einsum("ghw,g->hw",
-                          gt_masks * gt_valid[:, None, None],
-                          slot_idx.astype(gt_masks.dtype)).astype(jnp.int32)
+    covering = (gt_masks > 0) & gt_valid[:, None, None]
+    gt_any = covering.any(axis=0)
+    first_g = jnp.argmax(covering, axis=0)              # [H, W]
+    pix_slot = slot_idx[first_g].astype(jnp.int32)
     ll = jnp.take_along_axis(
         logp_pix.reshape(logp_pix.shape[0], -1),
         pix_slot.reshape(1, -1), axis=0)[0].reshape(gt_any.shape)

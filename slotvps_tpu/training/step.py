@@ -42,12 +42,30 @@ class TrainBatch(NamedTuple):
     gt_semantic: jnp.ndarray  # [B, H/4, W/4] int32 (255 = ignore)
 
 
+def trainable_mask(params) -> Dict:
+    """BatchNorm running statistics are buffers, not weights (torch
+    semantics; the reference's backbone runs norm_eval=True).  Optimizing
+    them diverges immediately: one AdamW step can push ``var`` negative and
+    ``rsqrt(var + eps)`` in batch_norm_eval turns the whole forward NaN."""
+    def keep(path, leaf):
+        last = path[-1]
+        name = getattr(last, "key", None)
+        return name not in ("mean", "var")
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
-                   clip_norm: float = 1.0):
-    return optax.chain(
+                   clip_norm: float = 1.0, params=None):
+    """AdamW with the reference's settings (r50_fpn_slotvps.py:198-199);
+    pass ``params`` to mask out BN statistics (required for training)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, weight_decay=weight_decay),
     )
+    if params is not None:
+        opt = optax.masked(opt, trainable_mask(params))
+    return opt
 
 
 def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
