@@ -39,16 +39,20 @@ import jax.numpy as jnp
 def _bilinear_sample_shifted(x_pad, iy, ix, wy, wx, halo, h, w):
     """Sample x_pad at integer grid (iy, ix) + bilinear weights, where
     iy/ix are per-pixel integer coords in unpadded space, already clamped
-    to [-halo-1, size+halo].  x_pad is padded by halo+1 on each side."""
-    # gather via dynamic row/col index add: positions are per-pixel, so we
-    # flatten to a single gather over the padded plane.
-    hp = h + 2 * (halo + 1)
-    wp = w + 2 * (halo + 1)
+    to [-halo-1, size+halo+1].  x_pad is padded by halo+2 on each side.
+
+    The pad budget covers the extreme corner (clamped position at
+    rig+halo -> floor+1 one past it) so indices are always in range: an
+    out-of-range gather here has a clipped (finite) forward but produced
+    NaN gradients for the offset inputs."""
+    pad = halo + 2
+    hp = h + 2 * pad
+    wp = w + 2 * pad
     flat = x_pad.reshape(x_pad.shape[0], hp * wp, x_pad.shape[-1])
-    idx = (iy + halo + 1) * wp + (ix + halo + 1)  # [B, H, W]
+    idx = (iy + pad) * wp + (ix + pad)  # [B, H, W]
     b, hh, ww = idx.shape
     vals = jnp.take_along_axis(
-        flat, idx.reshape(b, hh * ww, 1), axis=1
+        flat, idx.reshape(b, hh * ww, 1), axis=1, mode="clip"
     ).reshape(b, hh, ww, x_pad.shape[-1])
     return vals * (wy * wx)[..., None]
 
@@ -78,10 +82,11 @@ def deform_conv2d(
     assert offset.shape == (b, h_out, w_out, 2 * kh * kw), offset.shape
 
     halo = int(max_displacement)
-    # pad by halo+1 so every clamped sample's 4 corners are in range
+    # pad by halo+2 so every clamped sample's 4 corners are strictly in
+    # range (+1 for bilinear's second corner, +1 for the conv padding)
     x_pad = jnp.pad(
         x.astype(jnp.float32),
-        ((0, 0), (halo + 1, halo + 1), (halo + 1, halo + 1), (0, 0)))
+        ((0, 0), (halo + 2, halo + 2), (halo + 2, halo + 2), (0, 0)))
 
     oy = jnp.arange(h_out, dtype=jnp.float32) * stride - padding
     ox = jnp.arange(w_out, dtype=jnp.float32) * stride - padding

@@ -86,3 +86,20 @@ def test_gradients_flow(rng):
     assert np.isfinite(np.asarray(gw)).all()
     assert np.isfinite(np.asarray(go)).all()
     assert np.abs(np.asarray(go)).sum() > 0  # offsets get gradient (bilinear)
+
+
+def test_large_offset_gradients_finite(rng):
+    """Regression: offsets beyond the halo clamp produced NaN gradients
+    through an off-by-one out-of-range gather (finite forward, NaN
+    backward) — this killed full-model training after one optimizer step."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 8)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+    for scale in (1.0, 10.0, 2000.0):
+        off = jnp.asarray(rng.standard_normal((1, 16, 32, 18)) * scale,
+                          jnp.float32)
+        g = jax.jit(jax.grad(lambda o: jnp.sum(
+            deform_conv2d(x, o, wt, padding=1))))(off)
+        assert np.isfinite(np.asarray(g)).all(), scale
