@@ -59,6 +59,10 @@ def main():
     def frame_step(params, img, ref_feats):
         cur_feats = extract_features(params, cfg, img)
         outs = decode_pair(params, cfg, ref_feats, cur_feats)
+        # per-video postproc loop: measured FASTER than a vmapped postproc
+        # (vmap turns the per-frame while_loops into max-trip-count lockstep
+        # passes and serializes the claim kernel over a (B, K) grid —
+        # 15.3 s vs 0.25 s for the loop at B=4)
         posts = [postprocess_frame(
             outs.pred_logits[i], outs.pred_masks[i], outs.embeddings[i],
             outs.fcn_output[i], (H, W), cfg.postprocess)

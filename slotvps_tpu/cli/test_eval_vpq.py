@@ -111,11 +111,17 @@ def main(argv=None):
                        __import__("jax").tree.leaves(params))
         print(f"Model Params : {n_params / 1e6:.2f} M")
 
-        pipeline = InferencePipeline(params, cfg)
+        pipeline = None
         ssegs, panos, cls_inds, obj_ids, names = [], [], [], [], []
         t0 = time.time()
         for item in PrefetchLoader(dataset):
             meta = item["meta"]
+            if pipeline is None:
+                # emit at ori_shape: crops the /32 padding and resizes when
+                # the processed size differs (VIPER 1080p pads to 1088 —
+                # reference vps_temporal_slots.py:440-451)
+                pipeline = InferencePipeline(
+                    params, cfg, image_size=tuple(meta["ori_shape"]))
             res = pipeline.process_frame(item["img"], meta["is_first"])
             ssegs.append(res.sseg)
             panos.append(res.panoptic)

@@ -1,12 +1,21 @@
 """Training CLI.
 
 The reference never released training (reference vps_temporal_slots.py:
-496-497, README.md:64); this driver provides the capability natively:
-two-frame clips sampled with the reference's offsets grammar, the
-documented loss recipe (training/losses.py), AdamW with the reference's
-optimizer settings and step LR schedule (reference r50_fpn_slotvps.py:
-195-208: lr 1e-4, wd 1e-4, clip 1.0, warmup 500 iters ratio 1/3,
-steps [8, 11] of 12 epochs), data-parallel over a device mesh.
+496-497, README.md:64); this driver provides the capability natively using
+the reference's released *data* recipe and documented loss recipe:
+
+  * reference-frame sampling with the full offsets grammar
+    (data/dataset.py:sample_train_refs, reference cityscapes_vps.py:102-197),
+  * the released train pipeline: multiscale Resize (ratio 0.8-1.5),
+    RandomFlip, Normalize, RandomCrop(800x1600), Pad/32, semantic-map
+    replay + 1/4x rescale, FixedImageRandomShift pseudo-video
+    (data/transforms.py, reference r50_fpn_slotvps.py:123-146),
+  * losses: PQ + mask-id + deep supervision + semantic CE + track-head
+    match CE + instance discrimination (training/losses.py),
+  * AdamW lr 1e-4 wd 1e-4 clip 1.0, warmup 500 iters ratio 1/3, steps
+    [8, 11] of 12 epochs (reference r50_fpn_slotvps.py:195-208),
+  * RepeatDataset(times=8) epoch semantics (reference config :166-168),
+  * checkpoint/resume of {params, opt_state, step} (--resume_from).
 
 Usage:
   python -m slotvps_tpu.cli.train --ann_file ... --img_prefix ... \
@@ -30,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--config", default="r50_fpn_slotvps")
     p.add_argument("--ann_file", required=True)
     p.add_argument("--img_prefix", required=True)
+    p.add_argument("--seg_prefix", default=None,
+                   help="semantic labelmap dir (train/labelmap); without "
+                        "it loss_sem has nothing to supervise")
     p.add_argument("--work_dir", default="work_dirs/slotvps_tpu")
     p.add_argument("--resume_from", default=None)
     p.add_argument("--total_epochs", type=int, default=12)
@@ -38,6 +50,7 @@ def parse_args(argv=None):
     p.add_argument("--crop", type=int, nargs=2, default=(800, 1600))
     p.add_argument("--gt_capacity", type=int, default=64)
     p.add_argument("--offsets", default="0_shift_3")
+    p.add_argument("--repeat_times", type=int, default=8)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -63,51 +76,128 @@ def lr_schedule(base_lr, steps_per_epoch, total_epochs=12,
     return schedule
 
 
-def make_batch(dataset, indices, args, cfg, rng):
-    """Host-side batch assembly: image pair + padded GT."""
+def _frame_gt(dataset, idx, seg_prefix, semantic2label):
+    """Decode one frame's GT into a transforms.FrameGT."""
+    from slotvps_tpu.data.mask import decode_mask
+    from slotvps_tpu.data.transforms import FrameGT
+
+    ann = dataset.parse_ann_info(idx)
+    h = dataset.img_infos[idx].get("height")
+    w = dataset.img_infos[idx].get("width")
+    masks = []
+    for m in ann["masks"]:
+        if m is None:
+            masks.append(np.zeros((h, w), np.uint8))
+        else:
+            masks.append(decode_mask(m, h, w).astype(np.uint8))
+    semantic = None
+    if seg_prefix is not None:
+        semantic = dataset.load_semantic(idx, seg_prefix, semantic2label)
+    return FrameGT(bboxes=ann["bboxes"], labels=ann["labels"],
+                   obj_ids=ann["obj_ids"], masks=masks, semantic=semantic)
+
+
+def make_sample(dataset, idx, args, cfg, rng, aug):
+    """One training sample through the full reference pipeline; returns
+    None when the sample has no usable GT (caller resamples)."""
+    from slotvps_tpu.data.dataset import CITYSCAPES_SEMANTIC2LABEL
+    from slotvps_tpu.data.transforms import apply_train_pipeline
+
+    ref = dataset.sample_train_refs(idx, args.offsets, rng)
+    if ref is None:
+        return None
+    gt = _frame_gt(dataset, idx, args.seg_prefix,
+                   CITYSCAPES_SEMANTIC2LABEL)
+    if len(gt.labels) == 0:
+        return None
+    ref_idx = ref.ref_indices[int(rng.integers(0, len(ref.ref_indices)))]
+    img = dataset.load_image(idx)
+    if ref.pseudo_video:
+        ref_img, ref_gt = None, None
+    else:
+        ref_img = dataset.load_image(ref_idx)
+        ref_gt = _frame_gt(dataset, ref_idx, args.seg_prefix,
+                           CITYSCAPES_SEMANTIC2LABEL)
+        if len(ref_gt.labels) == 0:
+            return None
+    return apply_train_pipeline(img, gt, ref_img, ref_gt, aug, rng,
+                                pseudo_video=ref.pseudo_video)
+
+
+def _pad_gt(gt, gt_pids, capacity, quarter_shape, stuff_offset):
+    """Pad variable-length FrameGT to the fixed capacity at 1/4 res."""
     import cv2
 
-    from slotvps_tpu.data.mask import decode_mask
-    from slotvps_tpu.data.pipeline import preprocess
+    g = capacity
+    qh, qw = quarter_shape
+    labels = np.zeros((g,), np.int32)
+    masks = np.zeros((g, qh, qw), np.float32)
+    valid = np.zeros((g,), bool)
+    pids = np.zeros((g,), np.int32)
+    n = min(len(gt.labels), g)
+    for i in range(n):
+        labels[i] = gt.labels[i] + stuff_offset  # things in 19-class space
+        masks[i] = cv2.resize(gt.masks[i].astype(np.uint8), (qw, qh),
+                              interpolation=cv2.INTER_NEAREST)
+        valid[i] = True
+        if gt_pids is not None:
+            pid = int(gt_pids[i])
+            pids[i] = pid if pid <= g else 0
+    return labels, masks, valid, pids
+
+
+def make_batch(dataset, indices, args, cfg, rng, aug):
+    """Host-side batch assembly through the real train pipeline."""
     from slotvps_tpu.training.step import TrainBatch
 
+    stuff_offset = cfg.model.stuff_num - 1
     ch, cw = args.crop
-    g = args.gt_capacity
-    imgs, refs, labels, masks, valids, sems = [], [], [], [], [], []
+    qh, qw = ch // 4, cw // 4
+    cols = {f: [] for f in TrainBatch._fields}
     for idx in indices:
-        ref_idx = dataset.sample_ref_index(idx, args.offsets, rng)
-        if ref_idx is None:
-            ref_idx = idx
-        img_raw = dataset.load_image(idx)
-        ref_raw = dataset.load_image(ref_idx)
-        # resize+crop to the fixed training shape
-        img, _ = preprocess(cv2.resize(img_raw, (cw, ch)), (cw, ch))
-        ref, _ = preprocess(cv2.resize(ref_raw, (cw, ch)), (cw, ch))
-        ann = dataset.parse_ann_info(idx)
-        gl = np.zeros((g,), np.int32)
-        gm = np.zeros((g, ch // 4, cw // 4), np.float32)
-        gv = np.zeros((g,), bool)
-        sy = img_raw.shape[0] / ch
-        n = min(len(ann["labels"]), g)
-        for i in range(n):
-            gl[i] = ann["labels"][i] + 10  # things in 19-class space
-            if ann["masks"][i] is not None:
-                m = decode_mask(ann["masks"][i], img_raw.shape[0],
-                                img_raw.shape[1])
-                m = cv2.resize(m, (cw // 4, ch // 4),
-                               interpolation=cv2.INTER_NEAREST)
-                gm[i] = m
-            gv[i] = True
-        imgs.append(img[0])
-        refs.append(ref[0])
-        labels.append(gl)
-        masks.append(gm)
-        valids.append(gv)
-        sems.append(np.full((ch // 4, cw // 4), 255, np.int32))
-    return TrainBatch(
-        img=np.stack(imgs), ref_img=np.stack(refs),
-        gt_labels=np.stack(labels), gt_masks=np.stack(masks),
-        gt_valid=np.stack(valids), gt_semantic=np.stack(sems))
+        out = None
+        for _ in range(20):  # resample on degenerate crops/shifts
+            out = make_sample(dataset, int(idx), args, cfg, rng, aug)
+            if out is not None:
+                break
+            idx = int(rng.integers(0, len(dataset)))
+        if out is None:
+            raise RuntimeError("could not sample a valid training clip")
+        labels, masks, valid, pids = _pad_gt(
+            out["gt"], out["gt_pids"], args.gt_capacity, (qh, qw),
+            stuff_offset)
+        rlabels, rmasks, rvalid, _ = _pad_gt(
+            out["ref_gt"], None, args.gt_capacity, (qh, qw), stuff_offset)
+        sem = out["gt_semantic_seg_nx"]
+        if sem is None:
+            sem = np.full((qh, qw), 255, np.int32)
+        cols["img"].append(out["img"])
+        cols["ref_img"].append(out["ref_img"])
+        cols["gt_labels"].append(labels)
+        cols["gt_masks"].append(masks)
+        cols["gt_valid"].append(valid)
+        cols["gt_semantic"].append(sem.astype(np.int32))
+        cols["ref_gt_labels"].append(rlabels)
+        cols["ref_gt_masks"].append(rmasks)
+        cols["ref_gt_valid"].append(rvalid)
+        cols["gt_pids"].append(pids)
+    return TrainBatch(**{k: np.stack(v) for k, v in cols.items()})
+
+
+def save_train_state(path, params, opt_state, step):
+    from slotvps_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(os.path.abspath(path),
+                    {"params": params, "opt_state": opt_state,
+                     "step": step})
+
+
+def load_train_state(path, params, opt_state):
+    from slotvps_tpu.utils.checkpoint import load_checkpoint
+
+    like = {"params": params, "opt_state": opt_state, "step": 0}
+    state = load_checkpoint(os.path.abspath(path), like)
+    return state["params"], state["opt_state"], int(state["step"])
 
 
 def main(argv=None):
@@ -115,29 +205,31 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from slotvps_tpu.data.dataset import CityscapesVPSDataset
+    from slotvps_tpu.data.dataset import CityscapesVPSDataset, RepeatDataset
+    from slotvps_tpu.data.transforms import TrainAugConfig
     from slotvps_tpu.models.detector import init_model
     from slotvps_tpu.parallel.mesh import batch_sharding, make_mesh
     from slotvps_tpu.training.step import (
-        TrainBatch, make_optimizer, train_step)
-    from slotvps_tpu.utils.checkpoint import save_checkpoint
+        TrainBatch, train_step, trainable_mask)
     from slotvps_tpu.utils.profiler import count_params, params_to_string
 
     args = parse_args(argv)
     cfg = named_config(args.config)
     os.makedirs(args.work_dir, exist_ok=True)
 
-    dataset = CityscapesVPSDataset(args.ann_file, args.img_prefix)
+    dataset = RepeatDataset(
+        CityscapesVPSDataset(args.ann_file, args.img_prefix),
+        args.repeat_times)
+    aug = TrainAugConfig(crop_size=tuple(args.crop))
     n_dev = jax.device_count()
     batch = args.batch_per_device * n_dev
     steps_per_epoch = max(len(dataset) // batch, 1)
-    print(f"dataset: {len(dataset)} frames, {n_dev} devices, "
-          f"batch {batch}, {steps_per_epoch} steps/epoch")
+    print(f"dataset: {len(dataset)} frames (x{args.repeat_times} repeat), "
+          f"{n_dev} devices, batch {batch}, {steps_per_epoch} steps/epoch")
 
     params = init_model(jax.random.PRNGKey(args.seed), cfg.model)
     print(f"Model Params : {params_to_string(count_params(params))}")
     schedule = lr_schedule(args.lr, steps_per_epoch, args.total_epochs)
-    from slotvps_tpu.training.step import trainable_mask
 
     optimizer = optax.masked(
         optax.chain(optax.clip_by_global_norm(1.0),
@@ -145,20 +237,27 @@ def main(argv=None):
         trainable_mask(params))
     opt_state = optimizer.init(params)
 
+    start_it = 0
+    if args.resume_from:
+        params, opt_state, start_it = load_train_state(
+            args.resume_from, params, opt_state)
+        print(f"resumed from {args.resume_from} at iter {start_it}")
+
     mesh = make_mesh(n_data=n_dev, n_model=1)
     bsh = batch_sharding(mesh)
 
     step_fn = jax.jit(functools.partial(
         train_step, cfg=cfg.model, optimizer=optimizer))
 
-    rng = np.random.default_rng(args.seed)
-    it = 0
+    rng = np.random.default_rng(args.seed + start_it)
+    it = start_it
     t0 = time.time()
-    for epoch in range(args.total_epochs):
+    start_epoch = start_it // steps_per_epoch
+    for epoch in range(start_epoch, args.total_epochs):
         order = rng.permutation(len(dataset))
-        for s in range(steps_per_epoch):
+        for s in range(it % steps_per_epoch, steps_per_epoch):
             idxs = order[s * batch:(s + 1) * batch]
-            hb = make_batch(dataset, idxs, args, cfg, rng)
+            hb = make_batch(dataset, idxs, args, cfg, rng, aug)
             db = TrainBatch(*(jax.device_put(jnp.asarray(x), bsh)
                               for x in hb))
             with mesh:
@@ -166,13 +265,13 @@ def main(argv=None):
             it += 1
             if it % args.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = (time.time() - t0) / it
+                dt = (time.time() - t0) / max(it - start_it, 1)
                 print(f"epoch {epoch} iter {it}: "
                       + " ".join(f"{k}={v:.4f}" for k, v in m.items())
                       + f" ({dt:.2f}s/iter)")
-        save_checkpoint(
-            os.path.abspath(os.path.join(args.work_dir,
-                                         f"epoch_{epoch + 1}")), params)
+        save_train_state(os.path.join(args.work_dir,
+                                      f"epoch_{epoch + 1}"),
+                         params, opt_state, it)
     print("done")
 
 

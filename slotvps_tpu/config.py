@@ -51,10 +51,13 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     patch_size: int = 4
-    ape: bool = False
+    # no `ape` knob: both shipped configs set ape=False
+    # (swinL_fpn_slotvps.py:17), so absolute position embeddings are
+    # deliberately not implemented.
     patch_norm: bool = True
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
-    # drop-path only matters for training.
+    # stochastic depth for training; applied only when apply_swin gets a
+    # drop_path_key (swinL_fpn_slotvps.py:16 drop_path_rate=0.5)
     drop_path_rate: float = 0.5
 
 
@@ -194,7 +197,9 @@ class ModelConfig:
 
     def fpn_in_channels(self) -> Tuple[int, ...]:
         if self.backbone == "resnet":
-            return (256, 512, 1024, 2048)
+            # BasicBlock (18/34) has expansion 1, Bottleneck (50+) 4
+            expansion = 4 if self.resnet.depth >= 50 else 1
+            return tuple(64 * expansion * 2 ** i for i in range(4))
         dim = self.swin.embed_dim
         return (dim, dim * 2, dim * 4, dim * 8)
 

@@ -18,11 +18,59 @@ from __future__ import annotations
 
 import json
 import os.path as osp
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
 from slotvps_tpu.data.pipeline import preprocess
+
+
+class RefSample(NamedTuple):
+    """Sampled training reference frames (reference
+    cityscapes_vps.py:102-197)."""
+
+    ref_indices: List[int]
+    pseudo_video: bool   # True: refs are same-frame copies to be shifted
+
+
+# Cityscapes semantic label remap (reference r50_fpn_slotvps.py:128-130)
+CITYSCAPES_SEMANTIC2LABEL = {**{i: i for i in range(19)}, -1: 255, 255: 255}
+
+
+class RepeatDataset:
+    """Epoch-lengthening wrapper (reference
+    mmdet/datasets/dataset_wrappers.py:28; train config times=8)."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = times
+
+    def __len__(self):
+        return self.times * len(self.dataset)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % len(self.dataset)]
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+
+class ConcatDataset:
+    """Concatenation wrapper (reference dataset_wrappers.py:8)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._lens = [len(d) for d in self.datasets]
+
+    def __len__(self):
+        return sum(self._lens)
+
+    def __getitem__(self, idx):
+        for d, n in zip(self.datasets, self._lens):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError(idx)
 
 
 class CityscapesVPSDataset:
@@ -121,30 +169,112 @@ class CityscapesVPSDataset:
             masks=masks,
         )
 
-    def sample_ref_index(self, idx: int, offsets, rng) -> Optional[int]:
-        """Training reference-frame sampling grammar
-        (reference cityscapes_vps.py:108-197): '0' = same frame,
-        '0_shift_N' = uniform in [-N, N], a list = explicit offsets,
-        'all' = any frame of the video."""
+    def _video_index(self):
+        """vid -> sorted list of dataset indices of that video."""
+        if not hasattr(self, "_vid_idx"):
+            vids: Dict[int, list] = {}
+            for i in range(len(self)):
+                vids.setdefault(self.frame_ids(i)[0], []).append(i)
+            for v in vids:
+                vids[v].sort(key=lambda i: self.img_infos[i]["id"])
+            self._vid_idx = vids
+        return self._vid_idx
+
+    def sample_train_refs(self, idx: int, offsets, rng,
+                          offsets_change_prob: float = 0.5
+                          ) -> Optional[RefSample]:
+        """Training reference-frame sampling grammar (reference
+        cityscapes_vps.py:102-197 ``prepare_train_img``):
+
+          * ``'0'``: ref = the same frame, turned into a pseudo-video by
+            FixedImageRandomShift,
+          * ``'0_shift_N'``: N shifted copies of the same frame,
+          * ``'0_or_ref1'``: with prob ``offsets_change_prob`` the '0'
+            (shifted) behavior, else a real [-1, +1] neighbour (no shift),
+          * a list (e.g. ``[-1, 1]``): one random real frame at those iid
+            offsets (retry until one exists),
+          * ``'all'``: all previous frames of the video,
+          * ``'full_all'``: every other frame of the video,
+          * ``'-2' / '-3' / '-4'``: up to k previous frames,
+          * ``'+-3'``: previous frames, topped up with following frames to
+            exactly 3.
+
+        Returns None when no candidate exists (caller resamples another
+        index — reference datasets/custom.py:138-146)."""
         vid, fid = self.frame_ids(idx)
-        same_vid = [i for i in range(len(self))
-                    if self.frame_ids(i)[0] == vid]
-        if offsets == "0":
-            return idx
-        if isinstance(offsets, str) and offsets.startswith("0_shift_"):
+        iid = self.img_infos[idx]["id"]
+        all_idxs = self._video_index()[vid]
+        pos = all_idxs.index(idx)
+        iid_of = lambda i: self.img_infos[i]["id"]  # noqa: E731
+
+        if offsets == "0" or (offsets == "0_or_ref1"
+                              and rng.random() < offsets_change_prob):
+            return RefSample([idx], pseudo_video=True)
+        if isinstance(offsets, str) and offsets.startswith("0_shift"):
             n = int(offsets.split("_")[-1])
-            cands = [i for i in same_vid
-                     if abs(self.frame_ids(i)[1] - fid) <= n]
-        elif offsets == "all":
-            cands = list(same_vid)
-        elif isinstance(offsets, (list, tuple)):
-            wanted = {fid + o for o in offsets}
-            cands = [i for i in same_vid if self.frame_ids(i)[1] in wanted]
+            return RefSample([idx] * n, pseudo_video=True)
+        if isinstance(offsets, (list, tuple)) or offsets == "0_or_ref1":
+            cands = list(offsets) if isinstance(offsets, (list, tuple)) \
+                else [-1, 1]
+            by_iid = {iid_of(i): i for i in all_idxs}
+            while cands:
+                m = int(cands[rng.integers(0, len(cands))])
+                if iid + m in by_iid:
+                    return RefSample([by_iid[iid + m]], pseudo_video=False)
+                cands.remove(m)
+            return None
+        if offsets in ("all", "full_all"):
+            start = 0
+        elif offsets == "-2":
+            start = max(0, pos - 2)
+        elif offsets in ("-3", "+-3"):
+            start = max(0, pos - 3)
+        elif offsets == "-4":
+            start = max(0, pos - 4)
         else:
             raise ValueError(f"unknown offsets grammar: {offsets!r}")
-        if not cands:
+        used = list(all_idxs[start:pos])
+        if offsets == "full_all":
+            used += all_idxs[pos + 1:]
+        elif offsets.startswith("+-"):
+            n = int(offsets[-1])
+            used += all_idxs[pos + 1:pos + 1 + (n - len(used))]
+            if len(used) != n:
+                return None
+        if not used:
             return None
-        return int(cands[rng.integers(0, len(cands))])
+        return RefSample(used, pseudo_video=False)
+
+    def seg_filename(self, idx: int, seg_prefix: str) -> str:
+        """Semantic label-map path for a frame (reference
+        cityscapes_vps.py:210-217: seg_map with leftImg8bit->gtFine_color,
+        newImg8bit->final_mask)."""
+        info = self.img_infos[idx]
+        seg_map = info.get("seg_map", info["file_name"])
+        name = seg_map.replace("leftImg8bit", "gtFine_color").replace(
+            "newImg8bit", "final_mask")
+        return osp.join(seg_prefix, name)
+
+    def load_semantic(self, idx: int, seg_prefix: str,
+                      semantic2label: Optional[Dict[int, int]] = None
+                      ) -> np.ndarray:
+        """Load + remap the semantic label map (reference
+        pipelines/loading.py:270-283 ``_load_semantic_seg``)."""
+        import cv2
+
+        path = self.seg_filename(idx, seg_prefix)
+        seg = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if seg is None:
+            raise FileNotFoundError(path)
+        seg = seg.squeeze()
+        if seg.ndim == 3:  # color PNG: cityscapes labelmaps are single-ch
+            seg = seg[..., 0]
+        if semantic2label is not None:
+            out = seg.copy()
+            for k in np.unique(seg):
+                out[seg == k] = semantic2label.get(int(k), int(k))
+            seg = out
+        return seg
 
     @staticmethod
     def gt_pids(gt_obj_ids: np.ndarray, ref_obj_ids: np.ndarray

@@ -335,6 +335,7 @@ def final_eval(
     nframes_per_video: int = 6,
     window_sizes: Sequence[int] = (1, 2, 3, 4),
     verbose: bool = True,
+    draw_charts: bool = False,
 ) -> dict:
     """Full VPQ evaluation over all λ windows
     (reference tools/eval_vpq.py:417-564).
@@ -374,6 +375,26 @@ def final_eval(
                 "vsq_all", "vrq_all"):
         summary[key] = float(np.mean(summary[key])) if summary[key] else 0.0
 
+    # per-category vpq: one list per window size, category order = sorted id
+    # (reference tools/eval_vpq.py:310-314, 548-556, vpq_cats.json :522)
+    cat_ids = sorted(categories)
+    cats_x = [categories[c]["name"] for c in cat_ids]
+    cats_vpq = [
+        [100 * summary["per_k"][(nf - 1) * 5]["per_class"][c]["pq"]
+         for c in cat_ids]
+        for nf in window_sizes
+    ]
+    summary["per_category"] = {
+        name: float(np.mean([row[i] for row in cats_vpq]))
+        for i, name in enumerate(cats_x)
+    }
+    if verbose:
+        print("------per-category vpq------:")
+        for name in cats_x:
+            pad = " " * max(15 - len(name), 1)
+            print(f"category: {name}, {pad}, average vpq: "
+                  f"{str(summary['per_category'][name])[:5]}")
+
     if output_dir is not None:
         with open(os.path.join(output_dir, "vpq-final.txt"), "w") as f:
             f.write("vpq_all:%.4f\n" % summary["vpq_all"])
@@ -382,4 +403,35 @@ def final_eval(
             f.write("vpq_errp:%.4f\n" % summary["vpq_errp"])
         with open(os.path.join(output_dir, "vpq-final.json"), "w") as f:
             json.dump({k: v for k, v in summary.items() if k != "per_k"}, f)
+        with open(os.path.join(output_dir, "vpq_cats.json"), "w") as f:
+            json.dump(cats_vpq, f)
+        if draw_charts:
+            _draw_final_charts(summary, cats_x, cats_vpq, window_sizes,
+                               output_dir)
     return summary
+
+
+def _draw_final_charts(summary, cats_x, cats_vpq, window_sizes, output_dir):
+    """Per-video and per-category figures (reference
+    tools/eval_vpq.py:523-538, behind --draw_line_charts)."""
+    from slotvps_tpu.utils.charts import draw_line_chart
+
+    ks = [(nf - 1) * 5 for nf in window_sizes]
+    per_video = summary["per_k"][ks[0]]["per_video"]
+    x = list(range(len(per_video)))
+    for metric in ("pq", "sq", "rq"):
+        ys, labels = [], []
+        for k in ks:
+            for name in ("All", "Things", "Stuff"):
+                ys.append([100 * v[name][metric]
+                           for v in summary["per_k"][k]["per_video"]])
+                labels.append(f"{name}_v{metric}_k_{k}")
+        draw_line_chart(x, ys, labels, x_label="video", y_label=f"v{metric}",
+                        title=f"v{metric}_per_video",
+                        save_path=os.path.join(output_dir,
+                                               f"v{metric}_fig.png"))
+    draw_line_chart(cats_x, cats_vpq,
+                    [f"cats_vpq_k_{k}" for k in ks], x_label="category",
+                    y_label="cats_vpq", rotation=30, fontsize=8.5,
+                    title="vpq_cats_fig",
+                    save_path=os.path.join(output_dir, "vpq_cats_fig.png"))

@@ -46,8 +46,13 @@ class InferencePipeline:
 
     def __init__(self, params: Dict, config: Config,
                  image_size: Optional[tuple] = None):
+        """``image_size`` = (ori_h, ori_w) target output size; when it
+        differs from the processed (padded) size, masks/semantic logits
+        are resized to it on-device (reference
+        vps_temporal_slots.py:313-316, :440-451 — the VIPER 1080p path)."""
         self.params = params
         self.config = config
+        self.image_size = image_size
         cfg = config.model
 
         @jax.jit
@@ -57,10 +62,10 @@ class InferencePipeline:
         @jax.jit
         def _decode_post(params, ref_feats, cur_feats):
             outs = decode_pair(params, cfg, ref_feats, cur_feats)
-            h, w = outs.fcn_output.shape[1:3]
+            out_size = self.image_size or outs.fcn_output.shape[1:3]
             post = postprocess_frame(
                 outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
-                outs.fcn_output[0], (h, w), cfg.postprocess)
+                outs.fcn_output[0], tuple(out_size), cfg.postprocess)
             return post
 
         @jax.jit
@@ -148,3 +153,75 @@ def run_video(pipeline: InferencePipeline,
     for t, img in enumerate(frames):
         results.append(pipeline.process_frame(img, is_first=(t == 0)))
     return results
+
+
+class VideoScanner:
+    """Whole-clip inference as ONE jitted ``lax.scan`` over frames.
+
+    The reference dispatches each frame from python and crosses the device
+    boundary 4+ times per frame (SURVEY §3.3); InferencePipeline removes
+    the crossings but still dispatches per frame.  Here the per-frame
+    recurrence (carried reference features + track pool) is a scan carry,
+    tracking runs on device (tracking_jax.py), and the host gets one
+    stacked readback per clip (SURVEY §7 step 6 / BASELINE config 2).
+    """
+
+    def __init__(self, params: Dict, config: Config,
+                 image_size: Optional[tuple] = None,
+                 pool_capacity: int = 256):
+        self.params = params
+        self.config = config
+        self.stuff_num = config.model.stuff_num
+        cfg = config.model
+
+        def step(carry, img):
+            from slotvps_tpu.tracking_jax import track_step
+
+            prev_feats, pool, params_c = carry
+            cur_feats = extract_features(params_c, cfg, img)
+            outs = decode_pair(params_c, cfg, prev_feats, cur_feats)
+            out_size = image_size or outs.fcn_output.shape[1:3]
+            post = postprocess_frame(
+                outs.pred_logits[0], outs.pred_masks[0],
+                outs.embeddings[0], outs.fcn_output[0], tuple(out_size),
+                cfg.postprocess)
+            match = apply_track_head(params_c["track_head"],
+                                     post.embeddings, pool.embeddings)
+            ids, pool = track_step(pool, match, post.embeddings, post.kept)
+            out = (post.kept, post.is_thing, post.labels, post.scores,
+                   post.panoptic, post.sseg, ids)
+            return (cur_feats, pool, params_c), out
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(params_j, frames, pool_capacity):
+            from slotvps_tpu.tracking_jax import init_pool
+
+            first = extract_features(params_j, cfg, frames[0])
+            pool = init_pool(pool_capacity,
+                             params_j["init_mask_query"].shape[-1])
+            (_, pool, _), outs = jax.lax.scan(
+                step, (first, pool, params_j), frames)
+            return outs
+
+        self._run = run
+        self._pool_capacity = pool_capacity
+
+    def run_video(self, frames: Sequence[np.ndarray]) -> List[FrameResult]:
+        """frames: list of [1, H, W, 3] normalized arrays (one video)."""
+        stacked = jnp.asarray(np.stack(frames))
+        kept, is_thing, labels, scores, panoptic, sseg, ids = [
+            np.asarray(x)
+            for x in self._run(self.params, stacked, self._pool_capacity)]
+        results = []
+        for t in range(len(frames)):
+            thing = kept[t] & is_thing[t]
+            idx = np.nonzero(thing)[0]
+            results.append(FrameResult(
+                sseg=sseg[t].astype(np.uint8),
+                panoptic=panoptic[t].astype(np.uint8),
+                cls_inds=(labels[t][idx]
+                          - (self.stuff_num - 1)).astype(np.int64),
+                cls_prob=scores[t][idx].astype(np.float32),
+                obj_ids=ids[t][idx].astype(np.int64),
+            ))
+        return results

@@ -214,7 +214,21 @@ def decode_pair_train(params: Dict, cfg: ModelConfig,
                 m.transpose(0, 2, 3, 1), scale).transpose(0, 3, 1, 2)
         aux.append((all_logits[1][s].astype(jnp.float32),
                     m.astype(jnp.float32)))
-    return final, aux
+
+    # reference-frame final outputs (for ref-side supervision + the track
+    # head's match loss) and the normalized fine feature (for the
+    # instance-discrimination loss)
+    ref_fine = _feat_norm(params, all_feats[0][-1])
+    ref_final = FrameOutputs(
+        pred_logits=all_logits[0][-1].astype(jnp.float32),
+        pred_masks=_fg_bn(params, jnp.einsum(
+            "bhwc,blc->blhw", ref_fine, all_embeds[0][-1])).astype(
+                jnp.float32),
+        embeddings=all_embeds[0][-1].astype(jnp.float32),
+        fcn_output=ref_feats.fcn_output,
+    )
+    extras = {"ref": ref_final, "fine_feat": fine.astype(jnp.float32)}
+    return final, aux, extras
 
 
 def _feat_norm(params, feat):

@@ -221,9 +221,18 @@ def postprocess_frame(
     out_size: Tuple[int, int],
     cfg: PostprocessConfig,
 ) -> PostprocResult:
-    """Full per-frame post-processing (jit-friendly, static shapes)."""
+    """Full per-frame post-processing (jit-friendly, static shapes).
+
+    ``out_size`` is the TARGET (original) size.  When the processed size
+    differs (e.g. VIPER 1080 padded to 1088), masks are interpolated
+    directly to the target (reference vps_temporal_slots.py:313-316 passes
+    ori_shape to the postprocessor) and the semantic logits are resized to
+    the target before the argmax (reference :440-451)."""
     k = pred_logits.shape[0]
     h, w = out_size
+    if fcn_output.shape[:2] != (h, w):
+        fcn_output = interpolate_bilinear(fcn_output, (h, w),
+                                          align_corners=False)
 
     probs = jax.nn.softmax(pred_logits, axis=-1)
     scores = probs.max(axis=-1)

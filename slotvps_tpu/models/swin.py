@@ -136,7 +136,15 @@ def _shift_mask(h, w, window, shift):
     return jnp.where(diff != 0, -100.0, 0.0)
 
 
-def _block(p, x, num_heads, window, shift, rel_index):
+def _drop_path(key, x, rate):
+    """Stochastic depth on the batch axis (timm DropPath semantics,
+    reference swin :189, :251-252)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+def _block(p, x, num_heads, window, shift, rel_index, drop=None):
     b, h, w, c = x.shape
     shortcut = x
     x = L.layer_norm(p["norm1"], x)
@@ -157,6 +165,13 @@ def _block(p, x, num_heads, window, shift, rel_index):
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
     x = x[:, :h, :w]
+    if drop is not None:
+        key, rate = drop
+        k1, k2 = jax.random.split(key)
+        x = shortcut + _drop_path(k1, x, rate)
+        ffn = L.linear(p["fc2"], L.gelu(L.linear(
+            p["fc1"], L.layer_norm(p["norm2"], x))))
+        return x + _drop_path(k2, ffn, rate)
     x = shortcut + x
     ffn = L.linear(p["fc2"], L.gelu(L.linear(
         p["fc1"], L.layer_norm(p["norm2"], x))))
@@ -178,24 +193,38 @@ def _patch_merge(p, x):
     return L.linear(p["reduction"], x)
 
 
-def apply_swin(params: Dict, img: jnp.ndarray, cfg: SwinConfig
-               ) -> List[jnp.ndarray]:
-    """img: [B, H, W, 3] -> 4 feature maps at strides 4/8/16/32."""
+def apply_swin(params: Dict, img: jnp.ndarray, cfg: SwinConfig,
+               drop_path_key=None) -> List[jnp.ndarray]:
+    """img: [B, H, W, 3] -> 4 feature maps at strides 4/8/16/32.
+
+    ``drop_path_key``: PRNG key enabling train-time stochastic depth with
+    linearly increasing rate up to cfg.drop_path_rate (reference swin
+    :481-483, timm DropPath); None (inference) = identity."""
     x = L.conv2d(params["patch_embed"]["proj"], img,
                  stride=cfg.patch_size, padding=0)
     if params["patch_embed"]["norm"] is not None:
         x = L.layer_norm(params["patch_embed"]["norm"], x)
     rel_index = _rel_pos_index(cfg.window_size)
+    total_blocks = sum(cfg.depths)
+    dpr = [cfg.drop_path_rate * i / max(total_blocks - 1, 1)
+           for i in range(total_blocks)]
+    if drop_path_key is not None:
+        block_keys = jax.random.split(drop_path_key, total_blocks)
     outs = []
+    gi = 0
     for si in range(len(cfg.depths)):
         stage = params[f"stage{si}"]
         for bi, bp in enumerate(stage["blocks"]):
+            # odd blocks always shift — the reference does NOT clamp
+            # shift to 0 on maps smaller than the window (unlike official
+            # Swin): it pads, rolls, and masks (swin_transformer.py:361-404)
             shift = 0 if bi % 2 == 0 else cfg.window_size // 2
-            # no shift when the feature map fits one window
-            if min(x.shape[1], x.shape[2]) <= cfg.window_size:
-                shift = 0
+            drop = None
+            if drop_path_key is not None and dpr[gi] > 0:
+                drop = (block_keys[gi], dpr[gi])
             x = _block(bp, x, cfg.num_heads[si], cfg.window_size, shift,
-                       rel_index)
+                       rel_index, drop=drop)
+            gi += 1
         if si in cfg.out_indices:
             outs.append(L.layer_norm(params[f"out_norm{si}"], x))
         if si < len(cfg.depths) - 1:

@@ -36,25 +36,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_sample_shifted(x_pad, iy, ix, wy, wx, halo, h, w):
-    """Sample x_pad at integer grid (iy, ix) + bilinear weights, where
-    iy/ix are per-pixel integer coords in unpadded space, already clamped
-    to [-halo-1, size+halo+1].  x_pad is padded by halo+2 on each side.
+def _bilinear_sample_4corners(x_pad, y0i, x0i, fy, fx, halo, h, w):
+    """Bilinear sample of x_pad at fractional positions (y0i+fy, x0i+fx):
+    ONE fused gather for all 4 corners (compile- and backward-friendly —
+    one scatter-add in the vjp instead of four).
 
-    The pad budget covers the extreme corner (clamped position at
-    rig+halo -> floor+1 one past it) so indices are always in range: an
-    out-of-range gather here has a clipped (finite) forward but produced
-    NaN gradients for the offset inputs."""
+    y0i/x0i are per-pixel integer floors in unpadded space, already clamped
+    to [-halo-1, size+halo+1]; x_pad is padded by halo+2 per side so every
+    corner (floor and floor+1) is strictly in range: an out-of-range gather
+    would have a clipped (finite) forward but NaN offset gradients."""
     pad = halo + 2
     hp = h + 2 * pad
     wp = w + 2 * pad
-    flat = x_pad.reshape(x_pad.shape[0], hp * wp, x_pad.shape[-1])
-    idx = (iy + pad) * wp + (ix + pad)  # [B, H, W]
-    b, hh, ww = idx.shape
+    b, hh, ww = y0i.shape
+    c = x_pad.shape[-1]
+    flat = x_pad.reshape(b, hp * wp, c)
+    base = (y0i + pad) * wp + (x0i + pad)              # [B, H, W]
+    # corner order: (0,0), (0,1), (1,0), (1,1)
+    idx = jnp.stack([base, base + 1, base + wp, base + wp + 1],
+                    axis=-1)                            # [B, H, W, 4]
+    wgt = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                     fy * (1 - fx), fy * fx], axis=-1)  # [B, H, W, 4]
     vals = jnp.take_along_axis(
-        flat, idx.reshape(b, hh * ww, 1), axis=1, mode="clip"
-    ).reshape(b, hh, ww, x_pad.shape[-1])
-    return vals * (wy * wx)[..., None]
+        flat, idx.reshape(b, hh * ww * 4, 1), axis=1, mode="clip"
+    ).reshape(b, hh, ww, 4, c)
+    return jnp.einsum("bhwkc,bhwk->bhwc", vals, wgt)
 
 
 def deform_conv2d(
@@ -115,11 +121,8 @@ def deform_conv2d(
             y0i = y0.astype(jnp.int32)
             x0i = x0.astype(jnp.int32)
 
-            sample = jnp.zeros((b, h_out, w_out, c_in), jnp.float32)
-            for cy, wy in ((0, 1.0 - fy), (1, fy)):
-                for cx, wx in ((0, 1.0 - fx), (1, fx)):
-                    sample = sample + _bilinear_sample_shifted(
-                        x_pad, y0i + cy, x0i + cx, wy, wx, halo, h, w)
+            sample = _bilinear_sample_4corners(x_pad, y0i, x0i, fy, fx,
+                                               halo, h, w)
             sample = jnp.where(valid[..., None], sample, 0.0)
             if mask is not None:
                 sample = sample * mask[..., k:k + 1].astype(jnp.float32)

@@ -110,3 +110,78 @@ def pq_loss(
         "loss_pq": pq_weight * (loss_pos + loss_neg),
         "loss_maskid": maskid_weight * loss_maskid,
     }
+
+
+def pq_loss_with_match(pred_logits, mask_logits, gt_labels, gt_masks,
+                       gt_valid, **kw):
+    """pq_loss that also returns the GT->slot assignment (for the track
+    head's match loss)."""
+    losses = pq_loss(pred_logits, mask_logits, gt_labels, gt_masks,
+                     gt_valid, **kw)
+    class_probs = jax.nn.softmax(pred_logits, axis=-1)
+    dice = dice_similarity(mask_logits, gt_masks)
+    slot_idx, _ = match_slots(class_probs, dice, gt_labels, gt_valid)
+    return losses, slot_idx
+
+
+def match_loss(
+    cur_embeds: jnp.ndarray,    # [L, D] current-frame slot embeddings
+    ref_embeds: jnp.ndarray,    # [L, D] reference-frame slot embeddings
+    cur_slot_idx: jnp.ndarray,  # [G] slot matched to each current GT
+    ref_slot_idx: jnp.ndarray,  # [G] slot matched to each reference GT
+    gt_pids: jnp.ndarray,       # [G] 0 = new, j = 1-based ref-GT index
+    gt_valid: jnp.ndarray,      # [G] bool (current GTs)
+    ref_gt_valid: jnp.ndarray,  # [G] bool (reference GTs)
+    track_params,
+    loss_weight: float = 0.5,
+) -> jnp.ndarray:
+    """SimpleTrackHead training loss: cross-entropy on the correlation
+    matrix vs gt_pids targets (reference config r50_fpn_slotvps.py:91-96
+    ``loss_match`` CrossEntropyLoss weight 0.5; head
+    simple_track_head.py:58-92; targets built by cityscapes_vps.py:246-248).
+
+    Rows = current-frame GT-matched slot embeddings, columns = [new-object,
+    reference GT-matched slot embeddings]; invalid reference columns are
+    masked out of the softmax."""
+    from slotvps_tpu.models.track_head import apply_track_head
+
+    cur = cur_embeds[cur_slot_idx]          # [G, D]
+    ref = ref_embeds[ref_slot_idx]          # [G, D]
+    score = apply_track_head(track_params, cur, ref)  # [G, G+1]
+    col_valid = jnp.concatenate(
+        [jnp.ones((1,), bool), ref_gt_valid])          # [G+1]
+    score = jnp.where(col_valid[None, :], score, -1e30)
+    logp = jax.nn.log_softmax(score, axis=-1)
+    # a pid pointing at an invalid ref column can only come from padding
+    tgt_ok = gt_valid & (gt_pids <= ref_gt_valid.shape[0]) \
+        & col_valid[jnp.clip(gt_pids, 0, ref_gt_valid.shape[0])]
+    ll = jnp.take_along_axis(logp, jnp.clip(gt_pids, 0, score.shape[1] - 1)
+                             [:, None], axis=-1)[:, 0]
+    return -loss_weight * (ll * tgt_ok).sum() / jnp.maximum(tgt_ok.sum(), 1)
+
+
+def insdis_loss(
+    feat: jnp.ndarray,          # [h, w, D] L2-normalized decoder feature
+    gt_masks: jnp.ndarray,      # [G, h, w] {0,1}
+    gt_valid: jnp.ndarray,      # [G] bool
+    temp: float = 0.3,
+    loss_weight: float = 1.0,
+) -> jnp.ndarray:
+    """MaX-DeepLab instance-discrimination loss ('hand_craft' variant,
+    reference loss recipe r50_fpn_slotvps.py:55-65:
+    ``instance_loss_weight=1, insdis_loss_option='hand_craft', temp=0.3``):
+    contrast each in-mask pixel feature against per-instance mean feature
+    prototypes at temperature ``temp``."""
+    g = gt_masks.shape[0]
+    m = gt_masks * gt_valid[:, None, None]             # [G, h, w]
+    proto = jnp.einsum("ghw,hwd->gd", m, feat)
+    proto = proto * jax.lax.rsqrt(
+        jnp.sum(jnp.square(proto), -1, keepdims=True) + 1e-12)
+    logits = jnp.einsum("hwd,gd->hwg", feat, proto) / temp
+    logits = jnp.where(gt_valid, logits, -1e30)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    covered = m.max(axis=0) > 0                        # [h, w]
+    owner = jnp.argmax(m, axis=0)                      # first covering GT
+    ll = jnp.take_along_axis(logp, owner[..., None], axis=-1)[..., 0]
+    return -loss_weight * (ll * covered).sum() / jnp.maximum(
+        covered.sum(), 1)

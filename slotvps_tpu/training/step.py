@@ -32,7 +32,11 @@ from slotvps_tpu.training.losses import pq_loss
 
 
 class TrainBatch(NamedTuple):
-    """Fixed-capacity training batch (pads to G GT slots)."""
+    """Fixed-capacity training batch (pads to G GT slots).
+
+    ``gt_pids`` are the track-id targets: 0 = new object, j = 1-based index
+    into the reference frame's GT list (reference
+    cityscapes_vps.py:246-248)."""
 
     img: jnp.ndarray         # [B, H, W, 3]
     ref_img: jnp.ndarray     # [B, H, W, 3]
@@ -40,6 +44,29 @@ class TrainBatch(NamedTuple):
     gt_masks: jnp.ndarray    # [B, G, H/4, W/4] {0,1}
     gt_valid: jnp.ndarray    # [B, G] bool
     gt_semantic: jnp.ndarray  # [B, H/4, W/4] int32 (255 = ignore)
+    ref_gt_labels: jnp.ndarray  # [B, G] int32
+    ref_gt_masks: jnp.ndarray   # [B, G, H/4, W/4] {0,1}
+    ref_gt_valid: jnp.ndarray   # [B, G] bool
+    gt_pids: jnp.ndarray        # [B, G] int32
+
+
+def make_train_batch(img, ref_img, gt_labels, gt_masks, gt_valid,
+                     gt_semantic, ref_gt_labels=None, ref_gt_masks=None,
+                     ref_gt_valid=None, gt_pids=None) -> TrainBatch:
+    """TrainBatch builder; reference-frame GT defaults to mirroring the
+    current frame (static pseudo-video before shifting) with identity
+    pids."""
+    if ref_gt_labels is None:
+        ref_gt_labels = gt_labels
+        ref_gt_masks = gt_masks
+        ref_gt_valid = gt_valid
+    if gt_pids is None:
+        g = gt_labels.shape[-1]
+        gt_pids = jnp.where(gt_valid, jnp.arange(1, g + 1,
+                                                 dtype=jnp.int32), 0)
+    return TrainBatch(img, ref_img, gt_labels, gt_masks, gt_valid,
+                      gt_semantic, ref_gt_labels, ref_gt_masks,
+                      ref_gt_valid, gt_pids)
 
 
 def trainable_mask(params) -> Dict:
@@ -88,23 +115,42 @@ def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
         feat_trans=tuple(f[b:] for f in feat_trans),
         fcn_output=fcn_score[b:].astype(jnp.float32))
     from slotvps_tpu.models.detector import decode_pair_train
+    from slotvps_tpu.training.losses import (
+        insdis_loss, match_loss, pq_loss_with_match)
 
-    outs, aux = decode_pair_train(params, cfg, ref_feats, cur_feats)
+    outs, aux, extras = decode_pair_train(params, cfg, ref_feats, cur_feats)
+    ref_outs = extras["ref"]
 
-    per_frame = jax.vmap(
-        functools.partial(pq_loss), in_axes=(0, 0, 0, 0, 0))
-    losses = per_frame(outs.pred_logits, outs.pred_masks,
-                       batch.gt_labels, batch.gt_masks, batch.gt_valid)
+    per_frame = jax.vmap(pq_loss_with_match, in_axes=(0, 0, 0, 0, 0))
+    losses, slot_idx = per_frame(outs.pred_logits, outs.pred_masks,
+                                 batch.gt_labels, batch.gt_masks,
+                                 batch.gt_valid)
     metrics = {k: v.mean() for k, v in losses.items()}
+    # reference-frame supervision (both frames carry GT in the reference's
+    # train pipeline, r50_fpn_slotvps.py:141-145 Collect keys ref_*)
+    ref_losses, ref_slot_idx = per_frame(
+        ref_outs.pred_logits, ref_outs.pred_masks, batch.ref_gt_labels,
+        batch.ref_gt_masks, batch.ref_gt_valid)
+    metrics["loss_ref"] = sum(v.mean() for v in ref_losses.values())
     # deep supervision over the intermediate decoder stages (reference
     # return_intermediate=True, dynamic_mask_head.py:205-211)
     aux_total = 0.0
     for a_logits, a_masks in aux:
-        a_losses = per_frame(a_logits, a_masks, batch.gt_labels,
-                             batch.gt_masks, batch.gt_valid)
+        a_losses = jax.vmap(pq_loss, in_axes=(0, 0, 0, 0, 0))(
+            a_logits, a_masks, batch.gt_labels, batch.gt_masks,
+            batch.gt_valid)
         aux_total = aux_total + sum(v.mean() for v in a_losses.values())
     if aux:
         metrics["loss_aux"] = aux_total / len(aux)
+    # track-head match loss (reference r50_fpn_slotvps.py:91-96)
+    metrics["loss_match"] = jax.vmap(
+        functools.partial(match_loss, track_params=params["track_head"])
+    )(outs.embeddings, ref_outs.embeddings, slot_idx, ref_slot_idx,
+      batch.gt_pids, batch.gt_valid, batch.ref_gt_valid).mean()
+    # instance-discrimination loss (recipe instance_loss_weight=1,
+    # insdis_loss_option='hand_craft', temp=0.3)
+    metrics["loss_insdis"] = jax.vmap(insdis_loss)(
+        extras["fine_feat"], batch.gt_masks, batch.gt_valid).mean()
     loss_sem = semantic_loss(fcn_score[b:], batch.gt_semantic,
                              cfg.semantic_head)
     metrics["loss_sem"] = loss_pano_weight * loss_sem

@@ -127,14 +127,17 @@ def test_gt_pids():
 
 
 def test_sample_ref_offsets(tmp_path):
+    """Full grammar coverage lives in tests/test_training.py; this checks
+    the basics through this fixture's json."""
     ann, prefix = _make_dataset(tmp_path, n_videos=1, n_frames=4)
     ds = CityscapesVPSDataset(ann, prefix, scale=(64, 32))
     rng = np.random.default_rng(0)
-    assert ds.sample_ref_index(2, "0", rng) == 2
+    s = ds.sample_train_refs(2, "0", rng)
+    assert s.ref_indices == [2] and s.pseudo_video
     for _ in range(10):
-        r = ds.sample_ref_index(2, "0_shift_1", rng)
-        assert r in (1, 2, 3)
-        r = ds.sample_ref_index(2, [-1, 1], rng)
-        assert r in (1, 3)
-        r = ds.sample_ref_index(0, "all", rng)
-        assert 0 <= r < 4
+        s = ds.sample_train_refs(2, "0_shift_1", rng)
+        assert s.ref_indices == [2] and s.pseudo_video
+        s = ds.sample_train_refs(2, [-1, 1], rng)
+        assert s.ref_indices[0] in (1, 3) and not s.pseudo_video
+        s = ds.sample_train_refs(3, "all", rng)
+        assert s.ref_indices == [0, 1, 2]

@@ -47,6 +47,24 @@ def test_track_state_contested_match():
 
 
 @pytest.mark.slow
+def test_pipeline_ori_shape_crop():
+    """Input whose height is not /32-aligned (the VIPER 1080p analog:
+    here 40 pads to 64): outputs must come back at exactly ori_shape, with
+    the padding resized away (reference vps_temporal_slots.py:440-451)."""
+    cfg = Config(model=ModelConfig(
+        postprocess=PostprocessConfig(threshold=0.04)))
+    params = init_model(jax.random.PRNGKey(0), cfg.model)
+    pipe = InferencePipeline(params, cfg, image_size=(40, 96))
+    rng = np.random.default_rng(0)
+    raw = rng.standard_normal((1, 40, 96, 3)).astype(np.float32)
+    padded = np.zeros((1, 64, 96, 3), np.float32)
+    padded[:, :40] = raw
+    res = pipe.process_frame(padded, is_first=True)
+    assert res.sseg.shape == (40, 96)
+    assert res.panoptic.shape == (40, 96)
+
+
+@pytest.mark.slow
 def test_pipeline_end_to_end_tiny():
     """6-frame clip through the full stack; artifacts scoreable by VPQ."""
     cfg = Config(model=ModelConfig(

@@ -102,9 +102,14 @@ def test_decode_pair_train_aux_outputs(params):
     img = jnp.asarray(np.random.default_rng(0).standard_normal(
         (1, 64, 128, 3)).astype(np.float32))
     feats = jax.jit(lambda p, i: extract_features(p, CFG, i))(params, img)
-    final, aux = jax.jit(
+    final, aux, extras = jax.jit(
         lambda p, f: decode_pair_train(p, CFG, f, f))(params, feats)
     assert len(aux) == 6  # 7 stages - final
+    # identical ref/cur features => identical ref/cur outputs
+    np.testing.assert_allclose(np.asarray(extras["ref"].pred_logits),
+                               np.asarray(final.pred_logits),
+                               rtol=1e-5, atol=1e-5)
+    assert extras["fine_feat"].shape[-1] == 256
     h4, w4 = final.pred_masks.shape[-2:]
     for a_logits, a_masks in aux:
         assert a_logits.shape == (1, 100, 20)
