@@ -52,7 +52,7 @@ def main():
         semantic_head=dataclasses.replace(
             base.semantic_head, dcn_impl="pallas"),
         postprocess=dataclasses.replace(
-            base.postprocess, impl="pallas"))
+            base.postprocess, impl="pallas", stack_dtype="bfloat16"))
     params = init_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

@@ -65,7 +65,8 @@ def tune_config(cfg):
         m, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(m.semantic_head,
                                           dcn_impl="pallas"),
-        postprocess=dataclasses.replace(m.postprocess, impl="pallas"))
+        postprocess=dataclasses.replace(m.postprocess, impl="pallas",
+                                        stack_dtype="bfloat16"))
     return dataclasses.replace(cfg, model=m)
 
 

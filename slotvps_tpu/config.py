@@ -157,6 +157,11 @@ class PostprocessConfig:
     # 'fused' = fully fused TPU kernels that never materialize the
     # [H, W, K] upsampled mask stack (ops/pallas/postproc_fused.py)
     impl: str = "jax"
+    # dtype of the [H, W, K] upsampled mask stack: 'bfloat16' halves the
+    # HBM traffic of every postproc pass (the stack is 800 MB in f32 at
+    # 1024x2048x100); softmax accumulations stay f32.  Tuned/bench path
+    # only — f32 for bit-parity work.
+    stack_dtype: str = "float32"
 
 
 @_frozen
@@ -179,6 +184,16 @@ class ModelConfig:
     test_forward_ref_img: bool = True
     # bfloat16 for backbone/decoder compute (params stay fp32).
     compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        # the postprocessor's claim scan carries int8 pixel-ownership maps
+        # (models/postprocess.py): silent corruption past 127 slots, so
+        # fail at config time instead
+        if self.proposal_num > 127 and self.postprocess.apply_mask_removal:
+            raise ValueError(
+                f"proposal_num={self.proposal_num} > 127 is not supported "
+                "with apply_mask_removal (int8 ownership maps in the "
+                "postprocessor claim scan)")
 
     @property
     def num_classes(self) -> int:

@@ -76,8 +76,12 @@ def unify_pan_result(
 
         pan_seg = pan.copy()
         if len(cls_ind) == 0:
-            # no instances: blank out anything claiming to be one
-            # (reference :251-252)
+            # no instances: blank out anything claiming to be one.
+            # DELIBERATE divergence from the reference (:249-252): it
+            # copies pan_seg BEFORE the blank, leaving the dropped
+            # instances' raw ids behind as bogus semantic labels; we blank
+            # both channels so those pixels read void (255).  Regression:
+            # tests/test_eval_fusion.py::test_empty_instance_frame_blanks
             pan[pan > id_last_stuff] = 255
             pan_seg = pan.copy()
 

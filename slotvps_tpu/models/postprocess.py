@@ -251,6 +251,9 @@ def postprocess_frame(
             and (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
         return _postprocess_fused(masks_hwk, scores, classes, valid,
                                   embeds, is_thing, fcn_output, cfg)
+    # the [H, W, K] stack in cfg.stack_dtype (bf16 halves HBM traffic of
+    # every subsequent pass; reductions below accumulate in f32)
+    masks_hwk = masks_hwk.astype(jnp.dtype(cfg.stack_dtype))
 
     # upsample to full res (reference :697-698, bilinear align_corners=False)
     # [K, h, w] -> [H, W, K]: slots on the minor axis for fast reductions
@@ -264,11 +267,13 @@ def postprocess_frame(
         # binarize the per-pixel softmax over *valid* slots (reference :572,
         # :606-608) without materializing it:  softmax_k(x) >= thr  iff
         # x_k >= log(thr) + logsumexp over valid slots
-        masked = jnp.where(valid, raw_hwk, _NEG)
+        masked = jnp.where(valid, raw_hwk, jnp.asarray(_NEG, raw_hwk.dtype))
         mx = jnp.max(masked, axis=-1, keepdims=True)
-        lse = mx + jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(masked - mx), axis=-1, keepdims=True), 1e-30))
-        theta = jnp.log(cfg.pixel_threshold) + lse      # [H, W, 1]
+        lse = mx.astype(jnp.float32) + jnp.log(jnp.maximum(
+            jnp.sum(jnp.exp((masked - mx).astype(jnp.float32)),
+                    axis=-1, keepdims=True), 1e-30))
+        theta = (jnp.log(cfg.pixel_threshold) + lse).astype(
+            raw_hwk.dtype)                               # [H, W, 1]
         logit_khw = ((raw_hwk >= theta) & valid).transpose(2, 0, 1)
         if cfg.impl == "pallas":
             from slotvps_tpu.ops.pallas.claim_scan import claim_scan_pallas

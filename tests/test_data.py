@@ -141,3 +141,14 @@ def test_sample_ref_offsets(tmp_path):
         assert s.ref_indices[0] in (1, 3) and not s.pseudo_video
         s = ds.sample_train_refs(3, "all", rng)
         assert s.ref_indices == [0, 1, 2]
+
+
+def test_proposal_num_guardrail():
+    """proposal_num > 127 must fail at config time (int8 ownership maps in
+    the postprocessor claim scan)."""
+    import pytest
+
+    from slotvps_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="127"):
+        ModelConfig(proposal_num=128)

@@ -257,3 +257,19 @@ def test_convert_2ch_single_per_frame_colors():
     # same id both frames (colors restart per frame)
     assert np.array_equal(pans[0], pans[1])
     assert len(annos) == 2
+
+
+def test_empty_instance_frame_blanks():
+    """Deliberate divergence from the reference (cityscapes_vps.py:249-252):
+    with no kept instances, pixels carrying instance ids must read void in
+    BOTH the semantic and instance channels (the reference leaks the raw
+    ids into pan_seg because it copies before blanking)."""
+    seg = np.full((8, 8), 3, np.uint8)
+    pan = np.full((8, 8), 3, np.uint8)
+    pan[2:4, 2:4] = 12          # bogus instance id, no cls_ind for it
+    out = unify_pan_result([seg], [pan], [np.array([], dtype=np.int64)],
+                           [np.array([], dtype=np.int64)],
+                           stuff_area_limit=1)[0]
+    assert (out[2:4, 2:4, 0] == 255).all()     # pan_seg: void, not 12
+    assert (out[2:4, 2:4, 1] == 0).all()       # pan_ins: no instance
+    assert (out[..., 0][pan == 3] == 3).all()  # stuff untouched
