@@ -22,6 +22,7 @@ The north-star target is vs_baseline >= 10 (BASELINE.json).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,18 +34,18 @@ WARMUP = 2
 ITERS = 8
 
 
-def main():
+def main(config_name="r50_fpn_slotvps"):
     import jax
     import jax.numpy as jnp
 
-    from slotvps_tpu.config import r50_fpn_slotvps
+    from slotvps_tpu.config import named_config
     from slotvps_tpu.models.detector import (
         decode_pair, extract_features, init_model)
     from slotvps_tpu.models.postprocess import postprocess_frame
 
     import dataclasses
 
-    base = r50_fpn_slotvps().model
+    base = named_config(config_name).model
     # production-tuned: bf16 activations (params fp32, norm stats fp32,
     # logits/masks/postproc fp32) + Pallas one-hot-matmul DCN kernel
     cfg = dataclasses.replace(
@@ -95,8 +96,23 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     fps = BATCH / dt
+
+    # model FLOPs + MFU (diagnostic, stderr — the driver parses stdout)
+    try:
+        ca = frame_step.lower(params, img, ref_feats).compile() \
+            .cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        tflops = float(ca.get("flops", 0.0)) / 1e12
+        peak = 197.0  # v5e bf16 peak TFLOP/s
+        print(f"# step {tflops:.2f} TF, {tflops / dt:.1f} TF/s, "
+              f"MFU ~{100 * tflops / dt / peak:.1f}% of v5e bf16 peak",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "VPS frames/sec/chip at 1024x2048 (r50_fpn_slotvps, "
+        "metric": f"VPS frames/sec/chip at 1024x2048 ({config_name}, "
                   "full step incl. on-device panoptic postproc; "
                   f"{BATCH}-video data-parallel batch)",
         "value": round(fps, 3),
@@ -106,4 +122,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else "r50_fpn_slotvps")

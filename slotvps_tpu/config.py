@@ -36,6 +36,12 @@ class ResNetConfig:
     # 'pytorch' style: stride-2 lives on the 3x3 conv of each bottleneck
     # (reference resnet.py Bottleneck, style='pytorch').
     style: str = "pytorch"
+    # per-stage plugins (reference resnet.py:152-211; both shipped configs
+    # leave them off): DCN replaces each bottleneck's 3x3 conv, GCNet
+    # context block runs after bn3
+    dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    gcb_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    gcb_ratio: float = 1.0 / 16
 
 
 @_frozen
@@ -180,6 +186,9 @@ class ModelConfig:
     # reference other_config (r50_fpn_slotvps.py:97-106)
     proposal_num: int = 100  # number of slot queries
     has_no_obj: bool = True
+    # reference pos_config (r50_fpn_slotvps.py:99-102):
+    # 'sine'|'v2' = PositionEmbeddingSine, 'learned'|'v3' = learned bins
+    pos_embedding: str = "sine"
     pos_hidden_dim: int = 256
     test_forward_ref_img: bool = True
     # bfloat16 for backbone/decoder compute (params stay fp32).

@@ -62,7 +62,10 @@ class FrameOutputs(NamedTuple):
 def init_model(key, cfg: ModelConfig) -> Dict:
     ks = jax.random.split(key, 8)
     if cfg.backbone == "resnet":
-        backbone = resnet.init_resnet(ks[0], cfg.resnet.depth)
+        backbone = resnet.init_resnet(
+            ks[0], cfg.resnet.depth, dcn_stages=cfg.resnet.dcn_stages,
+            gcb_stages=cfg.resnet.gcb_stages,
+            gcb_ratio=cfg.resnet.gcb_ratio)
     elif cfg.backbone == "swin":
         backbone = swin.init_swin(ks[0], cfg.swin)
     else:
@@ -85,6 +88,12 @@ def init_model(key, cfg: ModelConfig) -> Dict:
     }
     # reference init: fg_bn weight 0.1 (vps_capsule.py:129)
     params["fg_bn"]["scale"] = jnp.full((1,), 0.1, jnp.float32)
+    if cfg.pos_embedding in ("learned", "v3"):
+        from slotvps_tpu.models.position_encoding import (
+            init_learned_position_embedding)
+
+        params["pos_embed"] = init_learned_position_embedding(
+            ks[7], cfg.pos_hidden_dim // 2)
     return params
 
 
@@ -118,7 +127,17 @@ def extract_features(params: Dict, cfg: ModelConfig,
 
 
 def _position_embeddings(cfg: ModelConfig,
-                         feat_trans: Sequence[jnp.ndarray]):
+                         feat_trans: Sequence[jnp.ndarray],
+                         params: Dict | None = None):
+    if cfg.pos_embedding in ("learned", "v3"):
+        from slotvps_tpu.models.position_encoding import (
+            learned_position_embedding)
+
+        return [
+            learned_position_embedding(params["pos_embed"], f.shape[1],
+                                       f.shape[2], dtype=f.dtype)
+            for f in feat_trans
+        ]
     return [
         sine_position_embedding(f.shape[1], f.shape[2],
                                 num_pos_feats=cfg.pos_hidden_dim // 2,
@@ -132,8 +151,8 @@ def decode_pair(params: Dict, cfg: ModelConfig,
                 cur_feats: FrameFeatures) -> FrameOutputs:
     """Joint two-frame slot decode + final mask logits for the current frame
     (vps_temporal_slots.py:270-308 + generate_final_outputs :144-160)."""
-    pos = _position_embeddings(cfg, cur_feats.feat_trans)
-    ref_pos = _position_embeddings(cfg, ref_feats.feat_trans)
+    pos = _position_embeddings(cfg, cur_feats.feat_trans, params)
+    ref_pos = _position_embeddings(cfg, ref_feats.feat_trans, params)
     if cfg.slot_head.retriever_impl == "pallas":
         from slotvps_tpu.ops.pallas.slot_attention import (
             retriever_attention_pallas)
@@ -174,8 +193,8 @@ def decode_pair_train(params: Dict, cfg: ModelConfig,
     dynamic_mask_head.py:205-211; aux masks use the feature level of their
     stage, feat_index = stage // 2 with matched_feat_version=0,
     vps_temporal_slots.py:161-192)."""
-    pos = _position_embeddings(cfg, cur_feats.feat_trans)
-    ref_pos = _position_embeddings(cfg, ref_feats.feat_trans)
+    pos = _position_embeddings(cfg, cur_feats.feat_trans, params)
+    ref_pos = _position_embeddings(cfg, ref_feats.feat_trans, params)
     all_logits, all_embeds, all_feats = apply_slot_head(
         params["slot_head"], cfg.slot_head,
         features=[list(ref_feats.feat_trans), list(cur_feats.feat_trans)],

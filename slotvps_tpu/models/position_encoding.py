@@ -1,17 +1,21 @@
-"""Sine position embedding (DETR-style).
+"""Position embeddings (DETR-style).
 
-Reference: mmdet/models/detectors/position_encoding.py:220-256
-(``PositionEmbeddingSine``), built with ``normalize=True`` and
-``num_pos_feats = hidden_dim // 2`` (reference :336-345).  The reference
-feeds an all-valid mask at test time (``nested_tensor_from_tensor_list`` on
-unpadded tensors), so cumsum over the valid mask reduces to 1..H / 1..W
-index grids — we compute those directly.
+Reference: mmdet/models/detectors/position_encoding.py —
+``PositionEmbeddingSine`` :220-256 (the one both shipped configs use,
+built with ``normalize=True`` and ``num_pos_feats = hidden_dim // 2``,
+:336-345), ``PositionEmbeddingSinev2`` :259-306 (same features, flattened
+[H*W, C] layout), ``PositionEmbeddingLearned`` :309-333 (learned 50-bin
+row/col embeddings).  The reference feeds an all-valid mask at test time
+(``nested_tensor_from_tensor_list`` on unpadded tensors), so cumsum over
+the valid mask reduces to 1..H / 1..W index grids — we compute those
+directly.
 """
 
 from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,3 +50,39 @@ def sine_position_embedding(
         (jnp.sin(pos_y[:, :, 0::2]), jnp.cos(pos_y[:, :, 1::2])), axis=3
     ).reshape(h, w, num_pos_feats)
     return jnp.concatenate((pos_y, pos_x), axis=-1).astype(dtype)
+
+
+def sine_position_embedding_v2(h: int, w: int, num_pos_feats: int = 128,
+                               temperature: float = 10000.0,
+                               normalize: bool = False,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """``PositionEmbeddingSinev2`` (reference :259-306): same features as
+    v1 but flattened to [H*W, 2*num_pos_feats] and default
+    ``normalize=False``."""
+    pos = sine_position_embedding(h, w, num_pos_feats, temperature,
+                                  normalize, dtype=dtype)
+    return pos.reshape(h * w, -1)
+
+
+def init_learned_position_embedding(key, num_pos_feats: int = 128,
+                                    num_bins: int = 50):
+    """``PositionEmbeddingLearned`` params (reference :309-319:
+    Embedding(50, d) per axis, uniform init)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "row_embed": jax.random.uniform(k1, (num_bins, num_pos_feats)),
+        "col_embed": jax.random.uniform(k2, (num_bins, num_pos_feats)),
+    }
+
+
+def learned_position_embedding(params, h: int, w: int,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """[H, W, 2*num_pos_feats]: col features then row features
+    (reference :321-333 cat([x_emb, y_emb]))."""
+    x_emb = params["col_embed"][:w]            # [W, d]
+    y_emb = params["row_embed"][:h]            # [H, d]
+    pos = jnp.concatenate([
+        jnp.broadcast_to(x_emb[None, :, :], (h, w, x_emb.shape[-1])),
+        jnp.broadcast_to(y_emb[:, None, :], (h, w, y_emb.shape[-1])),
+    ], axis=-1)
+    return pos.astype(dtype)

@@ -32,11 +32,12 @@ ARCH_SETTINGS = {
 }
 
 
-def _init_block(key, block, c_in, planes, stride, expansion):
+def _init_block(key, block, c_in, planes, stride, expansion,
+                dcn=False, gcb=False, gcb_ratio=1.0 / 16):
     ks = jax.random.split(key, 8)
     p = {}
     if block == "bottleneck":
-        p["conv1"] = init = L.init_conv(ks[0], 1, 1, c_in, planes, bias=False)
+        p["conv1"] = L.init_conv(ks[0], 1, 1, c_in, planes, bias=False)
         p["bn1"] = L.init_bn(planes)
         p["conv2"] = L.init_conv(ks[1], 3, 3, planes, planes, bias=False)
         p["bn2"] = L.init_bn(planes)
@@ -44,6 +45,17 @@ def _init_block(key, block, c_in, planes, stride, expansion):
                                  bias=False)
         p["bn3"] = L.init_bn(planes * expansion)
         c_out = planes * expansion
+        if dcn:
+            # offset head: zero init (reference resnet.py:176-182,
+            # init_offset zeroes weight+bias)
+            p["conv2_offset"] = {
+                "w": jnp.zeros((3, 3, planes, 18), jnp.float32),
+                "b": jnp.zeros((18,), jnp.float32),
+            }
+        if gcb:
+            from slotvps_tpu.models.context_block import init_context_block
+
+            p["gcb"] = init_context_block(ks[4], c_out, gcb_ratio)
     else:
         p["conv1"] = L.init_conv(ks[0], 3, 3, c_in, planes, bias=False)
         p["bn1"] = L.init_bn(planes)
@@ -58,9 +70,12 @@ def _init_block(key, block, c_in, planes, stride, expansion):
     return p, c_out
 
 
-def init_resnet(key, depth=50) -> Dict:
+def init_resnet(key, depth=50, dcn_stages=None, gcb_stages=None,
+                gcb_ratio=1.0 / 16) -> Dict:
     block, stage_blocks = ARCH_SETTINGS[depth]
     expansion = 4 if block == "bottleneck" else 1
+    dcn_stages = dcn_stages or (False,) * len(stage_blocks)
+    gcb_stages = gcb_stages or (False,) * len(stage_blocks)
     ks = jax.random.split(key, 1 + len(stage_blocks))
     params: Dict = {
         "conv1": L.init_conv(ks[0], 7, 7, 3, 64, bias=False),
@@ -74,7 +89,9 @@ def init_resnet(key, depth=50) -> Dict:
         bkeys = jax.random.split(ks[1 + si], nblocks)
         for bi in range(nblocks):
             bp, c_in = _init_block(bkeys[bi], block, c_in, planes,
-                                   stride if bi == 0 else 1, expansion)
+                                   stride if bi == 0 else 1, expansion,
+                                   dcn=dcn_stages[si], gcb=gcb_stages[si],
+                                   gcb_ratio=gcb_ratio)
             stage.append(bp)
         params[f"layer{si + 1}"] = stage
     return params
@@ -92,10 +109,23 @@ def _max_pool_3x3_s2(x):
 def _bottleneck(p, x, stride):
     out = L.conv2d(p["conv1"], x, padding=0)
     out = L.relu(L.batch_norm_eval(p["bn1"], out))
-    out = L.conv2d(p["conv2"], out, stride=stride, padding=1)
+    if "conv2_offset" in p:
+        # DCN stage plugin (reference resnet.py:235-244: conv2_offset on
+        # the SAME stride as conv2, then deformable conv2)
+        from slotvps_tpu.ops.deform_conv import deform_conv2d
+
+        offset = L.conv2d(p["conv2_offset"], out, stride=stride, padding=1)
+        out = deform_conv2d(out, offset, p["conv2"]["w"], stride=stride,
+                            padding=1)
+    else:
+        out = L.conv2d(p["conv2"], out, stride=stride, padding=1)
     out = L.relu(L.batch_norm_eval(p["bn2"], out))
     out = L.conv2d(p["conv3"], out, padding=0)
     out = L.batch_norm_eval(p["bn3"], out)
+    if "gcb" in p:
+        from slotvps_tpu.models.context_block import apply_context_block
+
+        out = apply_context_block(p["gcb"], out)
     if "downsample" in p:
         identity = L.batch_norm_eval(
             p["downsample"]["bn"],

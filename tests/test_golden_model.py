@@ -219,6 +219,43 @@ def test_decoder_parity(golden):
     _close(outs.pred_masks, mask_output, 5e-3, "mask logits")
 
 
+def test_position_encoding_parity():
+    """All three reference position-embedding variants vs ours."""
+    from slotvps_tpu.models.position_encoding import (
+        init_learned_position_embedding, learned_position_embedding,
+        sine_position_embedding, sine_position_embedding_v2)
+
+    ref_shim.install()
+    from mmdet.core.utils.misc import NestedTensor
+    from mmdet.models.detectors.position_encoding import (
+        PositionEmbeddingLearned, PositionEmbeddingSine,
+        PositionEmbeddingSinev2)
+
+    h, w = 12, 20
+    x = torch.zeros((1, 3, h, w))
+    mask = torch.zeros((1, h, w), dtype=torch.bool)
+    with torch.no_grad():
+        ref_sine = PositionEmbeddingSine(128, normalize=True)(
+            NestedTensor(x, mask))
+        ref_v2 = PositionEmbeddingSinev2(128)(x, H=h, W=w)
+        learned = PositionEmbeddingLearned(128)
+        ref_learned = learned(x)
+
+    _close(np.asarray(sine_position_embedding(h, w, 128))
+           .transpose(2, 0, 1)[None], ref_sine, 1e-5, "sine")
+    _close(np.asarray(sine_position_embedding_v2(h, w, 128))[None],
+           ref_v2, 1e-5, "sine v2")
+    import jax.numpy as jnp
+
+    params = {
+        "row_embed": jnp.asarray(learned.row_embed.weight.detach().numpy()),
+        "col_embed": jnp.asarray(learned.col_embed.weight.detach().numpy()),
+    }
+    _close(np.asarray(learned_position_embedding(params, h, w))
+           .transpose(2, 0, 1)[None], ref_learned, 1e-6, "learned")
+    init_learned_position_embedding(__import__("jax").random.PRNGKey(0))
+
+
 def test_swin_conversion_parity():
     """Golden forward parity for the Swin backbone converter: instantiate
     the reference SwinTransformer (tiny config — same code path as Swin-L),

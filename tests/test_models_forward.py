@@ -121,3 +121,32 @@ def test_decode_pair_train_aux_outputs(params):
     np.testing.assert_allclose(np.asarray(final.pred_masks),
                                np.asarray(ref.pred_masks),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_stage_plugins_identity_at_init():
+    """DCN (zero-init offsets) + GCNet (zero-init final conv) stage plugins
+    must be exact no-ops at init (reference resnet.py:152-211 wiring,
+    init_offset zeroing + ContextBlock zero conv)."""
+    from slotvps_tpu.models.resnet import apply_resnet, init_resnet
+
+    params = init_resnet(jax.random.PRNGKey(0), depth=50,
+                         dcn_stages=(False, False, True, True),
+                         gcb_stages=(False, True, True, False))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 64, 3)), jnp.float32)
+    with_plugins = jax.jit(lambda p, x: apply_resnet(p, x))(params, x)
+
+    import copy
+
+    plain = copy.deepcopy(params)
+    for si in range(4):
+        for bp in plain[f"layer{si + 1}"]:
+            bp.pop("conv2_offset", None)
+            bp.pop("gcb", None)
+    without = jax.jit(lambda p, x: apply_resnet(p, x))(plain, x)
+    for a, b in zip(with_plugins, without):
+        # identity semantics, not bit-exact: the DCN accumulates taps in a
+        # different order than the dense conv (activations reach ~1e3 on
+        # unnormalized input, so tolerances are relative)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-2)
