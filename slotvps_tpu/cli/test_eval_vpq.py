@@ -54,6 +54,13 @@ def parse_args(argv=None):
     p.add_argument("--tuned", action="store_true",
                    help="TPU-tuned kernels: bf16 activations, Pallas DCN, "
                         "VMEM-resident postproc claim scan")
+    p.add_argument("--scan", action="store_true",
+                   help="whole-clip lax.scan inference (one device "
+                        "dispatch + one readback per video span instead "
+                        "of per frame)")
+    p.add_argument("--draw_line_charts", action="store_true",
+                   help="per-video / per-category VPQ figures (reference "
+                        "--draw_line_charts)")
     return p.parse_args(argv)
 
 
@@ -115,15 +122,8 @@ def main(argv=None):
         pipeline = None
         ssegs, panos, cls_inds, obj_ids, names = [], [], [], [], []
         t0 = time.time()
-        for item in PrefetchLoader(dataset):
-            meta = item["meta"]
-            if pipeline is None:
-                # emit at ori_shape: crops the /32 padding and resizes when
-                # the processed size differs (VIPER 1080p pads to 1088 —
-                # reference vps_temporal_slots.py:440-451)
-                pipeline = InferencePipeline(
-                    params, cfg, image_size=tuple(meta["ori_shape"]))
-            res = pipeline.process_frame(item["img"], meta["is_first"])
+
+        def emit(res, meta):
             ssegs.append(res.sseg)
             panos.append(res.panoptic)
             cls_inds.append(res.cls_inds)
@@ -133,6 +133,38 @@ def main(argv=None):
             if done % 50 == 0:
                 dt = time.time() - t0
                 print(f"[{done}/{len(dataset)}] {done / dt:.2f} frames/s")
+
+        if args.scan:
+            # whole-clip scan: one dispatch + one readback per test span
+            from slotvps_tpu.inference import VideoScanner
+
+            span = cfg.data.nframes_span_test
+            scanner = None
+            loader = PrefetchLoader(dataset)
+            items = []
+            for item in loader:
+                items.append(item)
+                if len(items) == span or len(names) + len(items) \
+                        == len(dataset):
+                    if scanner is None:
+                        scanner = VideoScanner(
+                            params, cfg,
+                            image_size=tuple(items[0]["meta"]["ori_shape"]))
+                    results = scanner.run_video([i["img"] for i in items])
+                    for res, it in zip(results, items):
+                        emit(res, it["meta"])
+                    items = []
+        else:
+            for item in PrefetchLoader(dataset):
+                meta = item["meta"]
+                if pipeline is None:
+                    # emit at ori_shape: crops the /32 padding and resizes
+                    # when the processed size differs (VIPER 1080p pads to
+                    # 1088 — reference vps_temporal_slots.py:440-451)
+                    pipeline = InferencePipeline(
+                        params, cfg, image_size=tuple(meta["ori_shape"]))
+                res = pipeline.process_frame(item["img"], meta["is_first"])
+                emit(res, meta)
 
         pans_2ch = unify_pan_result(
             ssegs, panos, cls_inds, obj_ids,
@@ -180,7 +212,8 @@ def main(argv=None):
         summary = vpq_mod.final_eval(
             pred_json["annotations"], gt_annos, gt_pans, pred_pans, cats,
             output_dir=output_dir,
-            nframes_per_video=cfg.eval.nframes_per_video)
+            nframes_per_video=cfg.eval.nframes_per_video,
+            draw_charts=args.draw_line_charts)
         print("vpq_all:%.4f" % summary["vpq_all"])
         print("vpq_thing:%.4f" % summary["vpq_thing"])
         print("vpq_stuff:%.4f" % summary["vpq_stuff"])

@@ -297,10 +297,25 @@ def r50_fpn_slotvps_viper() -> Config:
     )
 
 
+def r50_fpn_slotvps_mv() -> Config:
+    """Mapillary Vistas variant (reference vps_temporal_slots.py:65-67:
+    num_classes 46/47 -> stuff_num 34; 46 semantic classes, 12 things)."""
+    return Config(
+        model=ModelConfig(
+            slot_head=SlotHeadConfig(num_classes=47),
+            semantic_head=SemanticHeadConfig(num_classes=46,
+                                             num_things_classes=12),
+            postprocess=PostprocessConfig(num_classes=47, num_stuff=34),
+        ),
+        eval=EvalConfig(num_classes=13, num_seg_classes=46),
+    )
+
+
 _NAMED = {
     "r50_fpn_slotvps": r50_fpn_slotvps,
     "swinl_fpn_slotvps": swinl_fpn_slotvps,
     "r50_fpn_slotvps_viper": r50_fpn_slotvps_viper,
+    "r50_fpn_slotvps_mv": r50_fpn_slotvps_mv,
 }
 
 

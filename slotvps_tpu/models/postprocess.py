@@ -113,9 +113,10 @@ def _dedup_map(labels, is_thing, kept):
     k = labels.shape[0]
     pos = jnp.arange(k)
     stuff_kept = kept & ~is_thing
-    # first kept position per class: scatter-min over labels (classes < 32)
-    first = jnp.full((32,), k, jnp.int32).at[
-        jnp.where(stuff_kept, labels, 31)
+    # first kept position per class: scatter-min over labels
+    # (64 bins covers every config: Mapillary has 47 classes)
+    first = jnp.full((64,), k, jnp.int32).at[
+        jnp.where(stuff_kept, labels, 63)
     ].min(jnp.where(stuff_kept, pos, k))
     mapped = jnp.where(stuff_kept, first[labels], pos)
     return jnp.where(mapped < k, mapped, pos)

@@ -150,3 +150,12 @@ def test_resnet_stage_plugins_identity_at_init():
         # unnormalized input, so tolerances are relative)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-2)
+
+
+def test_mv_config_builds():
+    from slotvps_tpu.config import named_config
+
+    cfg = named_config("r50_fpn_slotvps_mv")
+    assert cfg.model.stuff_num == 34
+    assert cfg.model.slot_head.num_classes == 47
+    assert cfg.eval.id_last_stuff == 33

@@ -238,3 +238,17 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def test_dedup_map_high_class_ids():
+    """Mapillary has 47 classes; the per-class scatter must handle stuff
+    labels above 31 (regression: the bin table was sized 32)."""
+    import jax.numpy as jnp
+
+    from slotvps_tpu.models.postprocess import _dedup_map
+
+    labels = jnp.array([33, 33, 40, 5], jnp.int32)
+    is_thing = jnp.array([False, False, False, True])
+    kept = jnp.array([True, True, True, True])
+    mapped = np.asarray(_dedup_map(labels, is_thing, kept))
+    assert mapped.tolist() == [0, 0, 2, 3]  # second 33 folds into first
