@@ -148,7 +148,9 @@ def deform_conv2d_pallas(
     b, h, w, c_in = x.shape
     kh, kw, wc_in, c_out = weight.shape
     assert (kh, kw) == (3, 3) and wc_in == c_in
-    tile = min(128, w)
+    # wider tiles amortize the per-tile halo overhead in the one-hot
+    # contraction (the window adds 2*halo+4 columns regardless of tile)
+    tile = min(256, w)
     assert w % tile == 0, (w, tile)
     rbuf = 2 * halo + 4
     wwin = -(-(tile + 2 * halo + 4) // 16) * 16  # sublane-aligned DMA
