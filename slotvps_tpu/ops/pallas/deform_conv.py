@@ -87,6 +87,7 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
         # every tap against the full 2*halo+4-row window
         kflat = kflat0
         out = jnp.zeros((tile, c_out), jnp.float32)
+        m_groups = []
         for ky in range(3):
             m_rows = []
             for kx in range(3):
@@ -117,9 +118,13 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
                 row_top = jnp.where(r_of == y0r, top, 0.0) * (1.0 - fy)
                 row_bot = jnp.where(r_of == y0r + 1, top, 0.0) * fy
                 m_rows.append((row_top + row_bot).astype(compute_dtype))
-            m_g = jnp.concatenate(m_rows, axis=0)        # [3*tile, kflat]
+            # [3*tile, kflat]; all three groups built before the matmul
+            # loop so the VPU one-hot construction can overlap the MXU
+            # contractions of earlier groups
+            m_groups.append(jnp.concatenate(m_rows, axis=0))
+        for ky in range(3):
             s_g = jax.lax.dot_general(
-                m_g, xflat[slot, pl.ds(ky * wwin, kflat)],
+                m_groups[ky], xflat[slot, pl.ds(ky * wwin, kflat)],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision)                      # [3*tile, C]
@@ -148,9 +153,9 @@ def deform_conv2d_pallas(
     b, h, w, c_in = x.shape
     kh, kw, wc_in, c_out = weight.shape
     assert (kh, kw) == (3, 3) and wc_in == c_in
-    # wider tiles amortize the per-tile halo overhead in the one-hot
-    # contraction (the window adds 2*halo+4 columns regardless of tile)
-    tile = min(256, w)
+    # tile=128 measured best (256 regressed 8.9 -> 7.3 fps: the bigger
+    # one-hot matmul loses more to VMEM pressure than the halo amortizes)
+    tile = min(128, w)
     assert w % tile == 0, (w, tile)
     rbuf = 2 * halo + 4
     wwin = -(-(tile + 2 * halo + 4) // 16) * 16  # sublane-aligned DMA
