@@ -27,15 +27,27 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_FPS = 1.0  # estimated reference per-frame rate (see docstring)
 H, W = 1024, 2048
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 2
 ITERS = 8
 
 
 def main(config_name="r50_fpn_slotvps"):
     import jax
+
+    try:
+        # persistent compile cache: repeated bench runs skip the multi-
+        # minute compile (single-core host; same cache as the dryrun)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_slotvps")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from slotvps_tpu.config import named_config

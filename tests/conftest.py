@@ -28,3 +28,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile-heavy tests")
+
+
+# the collective-timeout + compile-cache setup the dryrun uses also
+# benefits the in-suite multi-device tests on this single-core host
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_slotvps")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
