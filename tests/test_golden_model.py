@@ -290,6 +290,69 @@ def test_swin_conversion_parity():
                f"swin level {i}")
 
 
+def test_train_aux_outputs_parity(golden):
+    """Deep-supervision path: the reference's generate_final_outputs with
+    generate_aux_output=True (vps_temporal_slots.py:161-194: aux stage i
+    uses feature level i//2, x-scale bilinear upsample, fg_bn) vs
+    decode_pair_train's aux list."""
+    det, config, params = golden
+    cfg = config.model
+    from slotvps_tpu.models.detector import (
+        decode_pair_train, extract_features)
+
+    rng = np.random.default_rng(5)
+    img = _smooth_img(rng)
+    ref_img = _smooth_img(rng)
+
+    all_cls, all_masks, all_feats = _ref_decode(det, _t(img), _t(ref_img))
+    with torch.no_grad():
+        _, masks_out = all_masks
+        dh_feats = list(all_feats[1])
+        _, mask_output, aux_outputs = det.generate_final_outputs(
+            dh_feats, masks_out, generate_aux_output=True)
+
+    import jax.numpy as jnp
+
+    from slotvps_tpu.models.detector import FrameFeatures
+
+    both = extract_features(params, cfg,
+                            jnp.concatenate([_j(ref_img), _j(img)]))
+    ref_feats = FrameFeatures(
+        feat_trans=tuple(f[:1] for f in both.feat_trans),
+        fcn_output=both.fcn_output[:1])
+    cur_feats = FrameFeatures(
+        feat_trans=tuple(f[1:] for f in both.feat_trans),
+        fcn_output=both.fcn_output[1:])
+    final, aux, _extras = decode_pair_train(params, cfg, ref_feats,
+                                            cur_feats)
+    assert len(aux) == len(aux_outputs) == 6
+    _close(final.pred_masks, mask_output, 5e-3, "final masks")
+    for i, ((a_logits, a_masks), ref_m) in enumerate(
+            zip(aux, aux_outputs)):
+        _close(a_masks, ref_m, 2e-2, f"aux masks stage {i}")
+
+
+def test_semantic_loss_parity(golden):
+    """UPSNetFPN.loss (weighted CE with ignore label,
+    upsnetFPN.py:87-98) vs semantic_loss."""
+    det, config, params = golden
+    from slotvps_tpu.models.semantic_head import semantic_loss
+
+    rng = np.random.default_rng(6)
+    logits = rng.standard_normal((1, 16, 32, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, (1, 16, 32)).astype(np.int64)
+    labels[0, :3] = 255  # ignore region
+    with torch.no_grad():
+        ref = det.image_model.panopticFPN.loss(
+            torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels))["loss_segm"]
+    import jax.numpy as jnp
+
+    mine = semantic_loss(jnp.asarray(logits), jnp.asarray(labels),
+                         config.model.semantic_head)
+    np.testing.assert_allclose(float(mine), float(ref), rtol=1e-5)
+
+
 def test_track_head_parity(golden):
     det, config, params = golden
     from slotvps_tpu.models.track_head import apply_track_head
