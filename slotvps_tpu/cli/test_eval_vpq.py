@@ -57,7 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--scan", action="store_true",
                    help="whole-clip lax.scan inference (one device "
                         "dispatch + one readback per video span instead "
-                        "of per frame)")
+                        "of per frame; assumes videos align with "
+                        "nframes_span_test chunks, as the eval datasets "
+                        "do — verified bit-identical to streaming)")
     p.add_argument("--draw_line_charts", action="store_true",
                    help="per-video / per-category VPQ figures (reference "
                         "--draw_line_charts)")
