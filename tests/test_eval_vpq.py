@@ -136,6 +136,33 @@ def test_final_eval_aggregates(tmp_path):
     assert (tmp_path / "vpq-0.txt").exists()
     assert (tmp_path / "vpq-15.txt").exists()
     assert (tmp_path / "vpq-final.txt").exists()
+    # vpq-final.txt layout: exactly the reference's 4 summary lines
+    # (tools/eval_vpq.py:558-563)
+    lines = (tmp_path / "vpq-final.txt").read_text().splitlines()
+    assert [ln.split(":")[0] for ln in lines] == [
+        "vpq_all", "vpq_thing", "vpq_stuff", "vpq_errp"]
+    # per-category artifact (reference :522 vpq_cats.json: one per-cat
+    # list per window size)
+    import json as _json
+
+    cats = _json.load(open(tmp_path / "vpq_cats.json"))
+    assert len(cats) == 4 and all(len(c) == len(CATS) for c in cats)
+    assert summary["per_category"]
+
+
+def test_final_eval_draw_charts(tmp_path):
+    id_map = np.zeros((8, 8), dtype=np.uint32)
+    id_map[:4] = 5
+    id_map[4:] = 9
+    frames = [(_frame(id_map, {5: 1, 9: 2}), _frame(id_map, {5: 1, 9: 2}))
+              for _ in range(6)]
+    final_eval([f[1][0] for f in frames], [f[0][0] for f in frames],
+               [f[0][1] for f in frames], [f[1][1] for f in frames],
+               CATS, output_dir=str(tmp_path), verbose=False,
+               draw_charts=True)
+    for name in ("vpq_fig.png", "vsq_fig.png", "vrq_fig.png",
+                 "vpq_cats_fig.png"):
+        assert (tmp_path / name).exists(), name
 
 
 # ---------------------------------------------------------------------------

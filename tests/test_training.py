@@ -292,3 +292,12 @@ def test_overfit_synthetic_clip():
     # params stayed finite
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(params))
+
+
+def test_photometric_distortion_smoke():
+    from slotvps_tpu.data.transforms import photometric_distortion
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (32, 48, 3)).astype(np.uint8)
+    out = photometric_distortion(img, np.random.default_rng(1))
+    assert out.shape == img.shape and np.isfinite(out).all()
