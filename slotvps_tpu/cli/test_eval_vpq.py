@@ -148,6 +148,18 @@ def main(argv=None):
                 items.append(item)
                 if len(items) == span or len(names) + len(items) \
                         == len(dataset):
+                    # enforce the chunk == video-span assumption the help
+                    # text documents: the track pool and carried reference
+                    # features must not bleed across video boundaries
+                    firsts = [i for i, it in enumerate(items)
+                              if it["meta"].get("is_first")]
+                    if firsts != [0]:
+                        raise RuntimeError(
+                            f"--scan requires videos aligned with "
+                            f"nframes_span_test={span} chunks, but chunk "
+                            f"starting at frame {len(names)} has "
+                            f"is_first flags at positions {firsts} "
+                            f"(expected [0]); rerun without --scan")
                     if scanner is None:
                         scanner = VideoScanner(
                             params, cfg,

@@ -103,6 +103,11 @@ def make_sample(dataset, idx, args, cfg, rng, aug):
     from slotvps_tpu.data.dataset import CITYSCAPES_SEMANTIC2LABEL
     from slotvps_tpu.data.transforms import apply_train_pipeline
 
+    # RepeatDataset indices run to times*N-1; base-dataset methods
+    # (sample_train_refs/parse_ann_info/load_image/img_infos) need the
+    # base-space index.
+    if hasattr(dataset, "translate_index"):
+        idx = dataset.translate_index(idx)
     ref = dataset.sample_train_refs(idx, args.offsets, rng)
     if ref is None:
         return None

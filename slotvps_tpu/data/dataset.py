@@ -51,6 +51,15 @@ class RepeatDataset:
     def __getitem__(self, idx):
         return self.dataset[idx % len(self.dataset)]
 
+    def translate_index(self, idx: int) -> int:
+        """Map a repeated index into the base dataset's index space.
+
+        Callers that bypass ``__getitem__`` and talk to base-dataset methods
+        directly (``sample_train_refs``/``parse_ann_info``/``load_image``/
+        ``img_infos``) must translate first — ``__getattr__`` delegation does
+        NOT wrap indices."""
+        return int(idx) % len(self.dataset)
+
     def __getattr__(self, name):
         return getattr(self.dataset, name)
 

@@ -98,30 +98,55 @@ def bbox_flip(bboxes: np.ndarray, width: int) -> np.ndarray:
 
 
 def photometric_distortion(img_bgr: np.ndarray, rng,
+                           ref_bgr: np.ndarray = None,
                            brightness_delta=32,
                            contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5),
-                           hue_delta=18) -> np.ndarray:
-    """PhotoMetricDistortion (reference transforms.py:1201): random
-    brightness/contrast/saturation/hue on the unnormalized BGR image."""
-    img = img_bgr.astype(np.float32)
+                           hue_delta=18,
+                           no_swap_channel=False,
+                           convert_uint8=True):
+    """PhotoMetricDistortion (reference transforms.py:1201-1385): random
+    brightness / contrast (before or after HSV) / saturation / hue /
+    channel-swap on the unnormalized BGR image, each with p=0.5.
+
+    Matches the reference's float pipeline: the image stays float32 through
+    the BGR<->HSV round trip (cv2 CV_32F: H in [0, 360), S in [0, 1]) with
+    no intermediate uint8 quantization; hue wraps at 360 by a single
+    +-360 correction.  When ``ref_bgr`` is given the SAME random draws are
+    applied to it (the reference applies identical deltas to 'ref_img');
+    returns (img, ref) then, else img alone.
+    """
+    imgs = [img_bgr.astype(np.float32)]
+    if ref_bgr is not None:
+        imgs.append(ref_bgr.astype(np.float32))
     if rng.integers(2):
-        img += rng.uniform(-brightness_delta, brightness_delta)
+        delta = rng.uniform(-brightness_delta, brightness_delta)
+        imgs = [im + delta for im in imgs]
     mode = rng.integers(2)
     if mode == 1 and rng.integers(2):
-        img *= rng.uniform(*contrast_range)
-    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                       cv2.COLOR_BGR2HSV).astype(np.float32)
+        alpha = rng.uniform(*contrast_range)
+        imgs = [im * alpha for im in imgs]
+    imgs = [cv2.cvtColor(im, cv2.COLOR_BGR2HSV) for im in imgs]
     if rng.integers(2):
-        hsv[..., 1] *= rng.uniform(*saturation_range)
+        satu = rng.uniform(*saturation_range)
+        for im in imgs:
+            im[..., 1] *= satu
     if rng.integers(2):
-        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) \
-            % 180
-    img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
-                       cv2.COLOR_HSV2BGR).astype(np.float32)
+        hue = rng.uniform(-hue_delta, hue_delta)
+        for im in imgs:
+            im[..., 0] += hue
+            im[..., 0][im[..., 0] > 360] -= 360
+            im[..., 0][im[..., 0] < 0] += 360
+    imgs = [cv2.cvtColor(im, cv2.COLOR_HSV2BGR) for im in imgs]
     if mode == 0 and rng.integers(2):
-        img *= rng.uniform(*contrast_range)
-    return img
+        alpha = rng.uniform(*contrast_range)
+        imgs = [im * alpha for im in imgs]
+    if not no_swap_channel and rng.integers(2):
+        perm = rng.permutation(3)
+        imgs = [im[..., perm] for im in imgs]
+    if convert_uint8:
+        imgs = [im.astype(np.uint8) for im in imgs]
+    return imgs[0] if ref_bgr is None else (imgs[0], imgs[1])
 
 
 def _resize_frame(img, gt: FrameGT, f: float, shape_after):
@@ -266,9 +291,11 @@ def apply_train_pipeline(
         pseudo_video = True
 
     if aug.photometric:
-        img = photometric_distortion(img, rng)
-        ref_img = img if pseudo_video else \
-            photometric_distortion(ref_img, rng)
+        if pseudo_video:
+            img = photometric_distortion(img, rng)
+            ref_img = img
+        else:
+            img, ref_img = photometric_distortion(img, rng, ref_img)
 
     # 1. Resize: one random ratio shared by both frames
     ratio = rng.random() * (aug.ratio_range[1] - aug.ratio_range[0]) \

@@ -155,6 +155,19 @@ def run_video(pipeline: InferencePipeline,
     return results
 
 
+def _warn_pool_saturation(ids: np.ndarray, pool_capacity: int) -> None:
+    """Track ids >= capacity were assigned but their embeddings dropped
+    (tracking_jax.update_pool mode="drop"): later frames can never re-match
+    those tracks, diverging from the unbounded host loop — say so."""
+    if ids.size and int(ids.max()) >= pool_capacity:
+        import warnings
+        warnings.warn(
+            f"VideoScanner track pool saturated: max id {int(ids.max())} "
+            f">= pool_capacity {pool_capacity}; tracks past capacity "
+            "cannot be re-matched (raise pool_capacity or use the "
+            "streaming InferencePipeline)", RuntimeWarning)
+
+
 class VideoScanner:
     """Whole-clip inference as ONE jitted ``lax.scan`` over frames.
 
@@ -212,6 +225,7 @@ class VideoScanner:
         kept, is_thing, labels, scores, panoptic, sseg, ids = [
             np.asarray(x)
             for x in self._run(self.params, stacked, self._pool_capacity)]
+        _warn_pool_saturation(ids, self._pool_capacity)
         results = []
         for t in range(len(frames)):
             thing = kept[t] & is_thing[t]

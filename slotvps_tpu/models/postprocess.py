@@ -273,9 +273,12 @@ def postprocess_frame(
         lse = mx.astype(jnp.float32) + jnp.log(jnp.maximum(
             jnp.sum(jnp.exp((masked - mx).astype(jnp.float32)),
                     axis=-1, keepdims=True), 1e-30))
-        theta = (jnp.log(cfg.pixel_threshold) + lse).astype(
-            raw_hwk.dtype)                               # [H, W, 1]
-        logit_khw = ((raw_hwk >= theta) & valid).transpose(2, 0, 1)
+        theta = jnp.log(cfg.pixel_threshold) + lse       # [H, W, 1] f32
+        # threshold compare in f32 even for the bf16 stack: rounding theta
+        # to bf16 could flip pixels within 1 ulp of the softmax threshold
+        # (the upcast fuses into the compare — no extra HBM traffic)
+        logit_khw = ((raw_hwk.astype(jnp.float32) >= theta)
+                     & valid).transpose(2, 0, 1)
         if cfg.impl == "pallas":
             from slotvps_tpu.ops.pallas.claim_scan import claim_scan_pallas
 

@@ -57,10 +57,8 @@ def start_pool(pool: PoolState, cur_emb: jnp.ndarray,
     p = pool.embeddings.shape[0]
     rank = jnp.cumsum(cur_valid.astype(jnp.int32)) - 1      # [K]
     ids = jnp.where(cur_valid, rank, -1)
-    slot = jnp.where(cur_valid, ids, p)                     # drop invalid
-    emb = pool.embeddings.at[jnp.clip(slot, 0, p - 1)].set(
-        jnp.where((slot < p)[:, None], cur_emb,
-                  pool.embeddings[jnp.clip(slot, 0, p - 1)]))
+    slot = jnp.where(cur_valid, ids, p)                     # p = OOB: dropped
+    emb = pool.embeddings.at[slot].set(cur_emb, mode="drop")
     n = jnp.minimum(cur_valid.sum(), p).astype(jnp.int32)
     return ids.astype(jnp.int32), PoolState(emb, n, jnp.ones((), bool))
 
@@ -106,11 +104,11 @@ def update_pool(pool: PoolState, match_score: jnp.ndarray,
     ids = jnp.where(is_loser, m + n_first + rank_loser, ids)
     ids = jnp.where(cur_valid, ids, -1).astype(jnp.int32)
 
-    # pool update: winners replace, news append (drop past capacity)
+    # pool update: winners replace, news append (drop past capacity —
+    # slot >= p is out of bounds and mode="drop" writes nothing, so an
+    # over-capacity append can never clobber slot p-1's winner)
     slot = jnp.where(cur_valid & (ids >= 0) & (ids < p), ids, p)
-    emb = pool.embeddings.at[jnp.clip(slot, 0, p - 1)].set(
-        jnp.where((slot < p)[:, None], cur_emb,
-                  pool.embeddings[jnp.clip(slot, 0, p - 1)]))
+    emb = pool.embeddings.at[slot].set(cur_emb, mode="drop")
     new_size = jnp.minimum(m + n_first + is_loser.sum(), p).astype(jnp.int32)
     return ids, PoolState(emb, new_size, pool.started)
 

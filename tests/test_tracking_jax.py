@@ -73,6 +73,54 @@ def test_start_pool_matches_host():
     np.testing.assert_allclose(np.asarray(pool2.embeddings[:3]), cur)
 
 
+def test_update_pool_at_capacity_boundary():
+    """Exactly filling the pool must still match the host loop, and an
+    over-capacity append must NOT clobber slot cap-1 (the old clip-based
+    scatter folded slot=p onto p-1, racing a legitimate winner there)."""
+    cap, d = 4, 8
+    rng = np.random.default_rng(3)
+    pool_emb = rng.standard_normal((cap, d)).astype(np.float32)  # full pool
+    cur = rng.standard_normal((2, d)).astype(np.float32)
+    score = np.full((2, cap + 1), -5.0, np.float32)
+    score[0, cap] = 5.0      # row 0 wins pool id cap-1 (slot cap-1)
+    score[1, 0] = 5.0        # row 1 is new -> id cap (over capacity)
+
+    host = TrackState()
+    host.embeddings = pool_emb.copy()
+    host_ids = host.update(score.copy(), cur)
+
+    pool = init_pool(cap, d)._replace(
+        embeddings=jnp.asarray(pool_emb),
+        size=jnp.asarray(cap, jnp.int32),
+        started=jnp.ones((), bool))
+    ids, pool2 = jax.jit(update_pool)(
+        pool, jnp.asarray(score), jnp.asarray(cur),
+        jnp.ones((2,), bool))
+    assert np.asarray(ids).tolist() == host_ids.tolist()
+    # winner's embedding landed in slot cap-1; the dropped append did not
+    # touch any slot
+    np.testing.assert_allclose(np.asarray(pool2.embeddings),
+                               host.embeddings[:cap], rtol=1e-6)
+    assert int(pool2.size) == cap
+
+
+def test_scanner_warns_on_pool_saturation():
+    """The scan readback path must warn when assigned ids reach capacity
+    (silent-divergence guard for crowded clips)."""
+    import warnings
+
+    from slotvps_tpu.inference import _warn_pool_saturation
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _warn_pool_saturation(np.array([[0, 1, -1], [2, 3, -1]]), 4)
+    assert not rec
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _warn_pool_saturation(np.array([[0, 1, -1], [2, 4, -1]]), 4)
+    assert any("pool saturated" in str(w.message) for w in rec)
+
+
 def test_track_step_dispatch():
     pool = init_pool(8, 4)
     cur = jnp.ones((2, 4), jnp.float32)

@@ -300,4 +300,75 @@ def test_photometric_distortion_smoke():
     img = np.random.default_rng(0).integers(
         0, 255, (32, 48, 3)).astype(np.uint8)
     out = photometric_distortion(img, np.random.default_rng(1))
-    assert out.shape == img.shape and np.isfinite(out).all()
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # ref frame gets the SAME draws (reference applies identical deltas
+    # to 'ref_img', transforms.py:1248-1385)
+    a, b = photometric_distortion(img, np.random.default_rng(1), img)
+    np.testing.assert_array_equal(a, b)
+    # float32 stays unquantized mid-pipeline: identity draws round-trip
+    class _NoOp:
+        def integers(self, *_):
+            return 0
+
+        def uniform(self, lo, hi):
+            return 0.0
+    f = photometric_distortion(img, _NoOp(), convert_uint8=False)
+    np.testing.assert_allclose(f, img.astype(np.float32), atol=1e-3)
+
+
+def _disk_dataset(tmp_path, n_videos=2, n_frames=2, h=64, w=128):
+    """A tiny on-disk dataset (PNGs + polygon anns) usable by make_batch."""
+    import cv2
+
+    img, gt = _synthetic_frame(h, w)
+    images, anns = [], []
+    aid = 1
+    for vid in range(1, n_videos + 1):
+        for fid in range(1, n_frames + 1):
+            name = f"v{vid}_f{fid}_newImg8bit.png"
+            cv2.imwrite(str(tmp_path / name), img)
+            images.append({"id": vid * 10000 + fid, "file_name": name,
+                           "height": h, "width": w})
+            for j, (bb, lab, oid) in enumerate(zip(
+                    gt.bboxes, gt.labels, gt.obj_ids)):
+                x1, y1, x2, y2 = [float(v) for v in bb]
+                poly = [x1, y1, x2 + 1, y1, x2 + 1, y2 + 1, x1, y2 + 1]
+                anns.append({
+                    "id": aid, "image_id": vid * 10000 + fid,
+                    "category_id": int(lab),
+                    "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                    "area": float((x2 - x1 + 1) * (y2 - y1 + 1)),
+                    "segmentation": [poly], "inst_id": int(oid) + vid,
+                })
+                aid += 1
+    ann = {"images": images,
+           "categories": [{"id": 1, "name": "person"},
+                          {"id": 2, "name": "car"}],
+           "annotations": anns}
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    return CityscapesVPSDataset(str(p), str(tmp_path))
+
+
+def test_make_batch_through_repeat_dataset(tmp_path):
+    """Repeated indices (idx >= len(base)) must be translated before they
+    reach base-dataset methods (the advisor-reported IndexError)."""
+    from argparse import Namespace
+
+    from slotvps_tpu.cli.train import make_batch
+    from slotvps_tpu.config import named_config
+    from slotvps_tpu.data.transforms import TrainAugConfig
+
+    ds = _disk_dataset(tmp_path)
+    rep = RepeatDataset(ds, times=8)
+    args = Namespace(offsets="0_shift_3", seg_prefix=None,
+                     crop=(32, 64), gt_capacity=8)
+    cfg = named_config("r50_fpn_slotvps")
+    aug = TrainAugConfig(img_scale=(128, 64), ratio_range=(1.0, 1.0),
+                         crop_size=(32, 64), shift_padding=5)
+    rng = np.random.default_rng(0)
+    # indices deliberately past the base length (up to times*N - 1)
+    idxs = [len(rep) - 1, len(ds), len(ds) * 5 + 1]
+    batch = make_batch(rep, idxs, args, cfg, rng, aug)
+    assert batch.img.shape == (3, 32, 64, 3)
+    assert batch.gt_valid.any()
