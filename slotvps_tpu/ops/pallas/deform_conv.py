@@ -42,32 +42,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
-                xflat, sems, *, halo, h, w, c_in, c_out, tile,
+                xwin, sems, *, halo, h, w, c_in, c_out, tile, sub, rblk,
                 compute_dtype):
     bi = pl.program_id(0)
-    y = pl.program_id(1)
-    rbuf = 2 * halo + 4
-    wwin = -(-(tile + 2 * halo + 4) // 16) * 16  # sublane-aligned DMA
-    flat_k = rbuf * wwin
+    yb = pl.program_id(1)
+    rbuf = 2 * halo + 3 + rblk  # window rows shared by the rblk output rows
+    wwin = _round16(tile + 2 * halo + 4)  # sublane-aligned DMA
+    swin = _swin(sub, halo)
+    ksub = (2 * halo + 2) * swin
     n_tiles = w // tile
+    n_sub = tile // sub
 
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
+    r_of = roff_ref[0, :][None]  # [1, ksub]: q // swin
+    m_of = moff_ref[0, :][None]  # [1, ksub]: q %  swin
     col_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (tile, 1), 0).astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    kflat0 = (2 * halo + 2) * wwin
-    r_of = roff_ref[0, pl.ds(0, kflat0)][None]  # [1, kflat]: q // wwin
-    m_of = moff_ref[0, pl.ds(0, kflat0)][None]  # [1, kflat]: q %  wwin
+        jnp.int32, (sub, 1), 0).astype(jnp.float32)
 
     # double-buffered tile windows: tile t+1's rows stream in while tile t
-    # computes.  window rows [y+1, y+1+rbuf), cols [t*tile, t*tile+wwin) of
-    # padded x, written flat: xflat[s, r*wwin:(r+1)*wwin] = xp[y+1+r, cols]
+    # computes.  A grid step covers ``rblk`` consecutive output rows, so
+    # the window re-reads rbuf/rblk rows per output row instead of
+    # 2*halo+4 (3.2x less HBM traffic at rblk=4, halo=4), and the
+    # per-step DMA/loop overheads amortize.
+    # window rows [yb*rblk+1, yb*rblk+1+rbuf), cols [t*tile, t*tile+wwin)
+    # of padded x: xwin[s, r] = xp[yb*rblk+1+r, cols]
     def tile_dma(t, slot):
         return [pltpu.make_async_copy(
-            x_hbm.at[bi, y + 1 + r, pl.ds(t * tile, wwin)],
-            xflat.at[slot, pl.ds(r * wwin, wwin)],
+            x_hbm.at[bi, yb * rblk + 1 + r, pl.ds(t * tile, wwin)],
+            xwin.at[slot, r],
             sems.at[slot, r]) for r in range(rbuf)]
 
     for cp in tile_dma(0, 0):
@@ -81,60 +85,97 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
         for cp in tile_dma(t, slot):
             cp.wait()
 
-        # kernel-row groups: the taps of row ky only sample from the
-        # 2*halo+2 buffer rows starting at ky (a contiguous slice of the
-        # flattened window) — 17% less matmul+build work than contracting
-        # every tap against the full 2*halo+4-row window
-        kflat = kflat0
-        out = jnp.zeros((tile, c_out), jnp.float32)
-        m_groups = []
-        for ky in range(3):
-            m_rows = []
-            for kx in range(3):
-                k = ky * 3 + kx
-                dy = off_ref[0, 0, 2 * k, pl.ds(t * tile, tile)][:, None]
-                dx = off_ref[0, 0, 2 * k + 1,
-                             pl.ds(t * tile, tile)][:, None]
-                rig_y = yf + (ky - 1.0)
-                rig_x = col_iota + (t * tile + kx - 1.0)
-                py = rig_y + dy
-                px = rig_x + dx
-                valid = (py > -1.0) & (py < h) & (px > -1.0) & (px < w)
-                py = jnp.clip(py, rig_y - halo, rig_y + halo)
-                px = jnp.clip(px, rig_x - halo, rig_x + halo)
-                y0 = jnp.floor(py)
-                x0 = jnp.floor(px)
-                fy = (py - y0).astype(jnp.float32)
-                fx = (px - x0).astype(jnp.float32)
-                # row index relative to this ky group's window start
-                # (buffer row ky holds unpadded row y + ky - 1 - halo)
-                y0r = y0.astype(jnp.int32) - y + (halo + 1) - ky    # [T,1]
-                x0r = x0.astype(jnp.int32) + (halo + 2) - t * tile  # [T,1]
-                wx1 = jnp.where(valid, fx, 0.0)
-                wx0 = jnp.where(valid, 1.0 - fx, 0.0)
-                # corner (a, b) hits group-flat index (y0r+a)*wwin+(x0r+b)
-                top = jnp.where(m_of == x0r, wx0, 0.0) \
-                    + jnp.where(m_of == x0r + 1, wx1, 0.0)
-                row_top = jnp.where(r_of == y0r, top, 0.0) * (1.0 - fy)
-                row_bot = jnp.where(r_of == y0r + 1, top, 0.0) * fy
-                m_rows.append((row_top + row_bot).astype(compute_dtype))
-            # [3*tile, kflat]; all three groups built before the matmul
-            # loop so the VPU one-hot construction can overlap the MXU
-            # contractions of earlier groups
-            m_groups.append(jnp.concatenate(m_rows, axis=0))
-        for ky in range(3):
-            s_g = jax.lax.dot_general(
-                m_groups[ky], xflat[slot, pl.ds(ky * wwin, kflat)],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)                      # [3*tile, C]
-            for kx in range(3):
-                out += jax.lax.dot_general(
-                    s_g[kx * tile:(kx + 1) * tile].astype(compute_dtype),
-                    w_ref[ky * 3 + kx], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-        o_ref[0, 0, pl.ds(t * tile, tile), :] = out.astype(o_ref.dtype)
+        # Two nested locality splits keep the one-hot contraction small:
+        #   * kernel-row groups: the taps of row ky only sample from the
+        #     2*halo+2 buffer rows starting at rr+ky,
+        #   * column subtiles: ``sub`` consecutive pixels only sample from
+        #     a ``swin``-column slice of the tile window, so the contracted
+        #     axis is (2*halo+2)*swin instead of (2*halo+2)*wwin — 3x less
+        #     MXU work and M-build work at tile=128/sub=32/halo=4.
+        for rr in range(rblk):
+            y = yb * rblk + rr
+            yf = y.astype(jnp.float32)
+            samples = [[[] for _ in range(3)] for _ in range(3)]
+            for s in range(n_sub):
+                for ky in range(3):
+                    m_rows = []
+                    for kx in range(3):
+                        k = ky * 3 + kx
+                        px0 = t * tile + s * sub
+                        dy = off_ref[0, rr, 2 * k, pl.ds(px0, sub)][:, None]
+                        dx = off_ref[0, rr, 2 * k + 1,
+                                     pl.ds(px0, sub)][:, None]
+                        rig_y = yf + (ky - 1.0)
+                        rig_x = col_iota + (px0 + kx - 1.0)
+                        py = rig_y + dy
+                        px = rig_x + dx
+                        valid = (py > -1.0) & (py < h) \
+                            & (px > -1.0) & (px < w)
+                        py = jnp.clip(py, rig_y - halo, rig_y + halo)
+                        px = jnp.clip(px, rig_x - halo, rig_x + halo)
+                        y0 = jnp.floor(py)
+                        x0 = jnp.floor(px)
+                        fy = (py - y0).astype(jnp.float32)
+                        fx = (px - x0).astype(jnp.float32)
+                        # row index relative to this (rr, ky) group's
+                        # window start (buffer row rr+ky holds unpadded row
+                        # y + ky - 1 - halo); col index relative to the
+                        # subtile window start
+                        y0r = y0.astype(jnp.int32) - y + (halo + 1) - ky
+                        x0r = x0.astype(jnp.int32) + (halo + 2) \
+                            - t * tile - s * sub                   # [S,1]
+                        # corner weights pre-folded on the tiny [sub, 1]
+                        # columns so the big [sub, ksub] broadcasts are
+                        # just compare+select+add
+                        wtop = 1.0 - fy
+                        wx1 = jnp.where(valid, fx, 0.0)
+                        wx0 = jnp.where(valid, 1.0 - fx, 0.0)
+                        # corner (a, b) -> subtile-flat (y0r+a)*swin+x0r+b
+                        top = jnp.where(m_of == x0r, wx0 * wtop, 0.0) \
+                            + jnp.where(m_of == x0r + 1, wx1 * wtop, 0.0)
+                        bot = jnp.where(m_of == x0r, wx0 * fy, 0.0) \
+                            + jnp.where(m_of == x0r + 1, wx1 * fy, 0.0)
+                        m_rows.append(
+                            (jnp.where(r_of == y0r, top, 0.0)
+                             + jnp.where(r_of == y0r + 1, bot, 0.0)).astype(
+                                 compute_dtype))
+                    # [3*sub, ksub] one-hot for this (subtile, kernel row)
+                    m_g = jnp.concatenate(m_rows, axis=0)
+                    win = xwin[slot, rr + ky:rr + ky + 2 * halo + 2,
+                               pl.ds(s * sub, swin), :]
+                    s_g = jax.lax.dot_general(
+                        m_g, win.reshape(ksub, c_in),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)                  # [3*sub, C]
+                    for kx in range(3):
+                        samples[ky][kx].append(
+                            s_g[kx * sub:(kx + 1) * sub].astype(
+                                compute_dtype))
+            # weight contraction over full tiles: concatenating the
+            # subtiles first turns 9*n_sub M=sub matmuls into 9 M=tile
+            # matmuls (full MXU row utilization)
+            out = jnp.zeros((tile, c_out), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    samp = samples[ky][kx][0] if n_sub == 1 else \
+                        jnp.concatenate(samples[ky][kx], axis=0)
+                    out += jax.lax.dot_general(
+                        samp, w_ref[ky * 3 + kx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+            o_ref[0, rr, pl.ds(t * tile, tile), :] = out.astype(o_ref.dtype)
+
+
+def _round16(n):
+    return -(-n // 16) * 16
+
+
+def _swin(sub, halo):
+    """Subtile window width: pixels [s*sub, s*sub+sub) sample padded
+    columns [s*sub + 1, s*sub + sub + 2*halo + 2], rounded up for sublane
+    alignment of the slice."""
+    return -(-(sub + 2 * halo + 4) // 8) * 8
 
 
 def deform_conv2d_pallas(
@@ -143,6 +184,8 @@ def deform_conv2d_pallas(
     weight: jnp.ndarray,  # [3, 3, C_in, C_out]
     halo: int = 4,
     compute_dtype=jnp.bfloat16,
+    sub: int = 32,
+    rblk: int = 4,
 ) -> jnp.ndarray:
     """3x3 stride-1 pad-1 deformable conv (the semantic-tower case).
 
@@ -156,10 +199,16 @@ def deform_conv2d_pallas(
     # tile=128 measured best (256 regressed 8.9 -> 7.3 fps: the bigger
     # one-hot matmul loses more to VMEM pressure than the halo amortizes)
     tile = min(128, w)
-    assert w % tile == 0, (w, tile)
-    rbuf = 2 * halo + 4
-    wwin = -(-(tile + 2 * halo + 4) // 16) * 16  # sublane-aligned DMA
-    flat_k = rbuf * wwin
+    sub = min(sub, tile)
+    import math
+    rblk = math.gcd(min(rblk, h), h)  # largest power-of-2 divisor fit
+    assert w % tile == 0 and tile % sub == 0, (w, tile, sub)
+    assert h % rblk == 0, (h, rblk)
+    rbuf = 2 * halo + 3 + rblk
+    wwin = _round16(tile + 2 * halo + 4)  # sublane-aligned DMA
+    swin = _swin(sub, halo)
+    ksub = (2 * halo + 2) * swin
+    assert (tile - sub) + swin <= wwin  # last subtile slice stays in window
 
     # zero-pad: top/left halo+2; bottom/right so the last window fits
     pad = halo + 2
@@ -167,13 +216,13 @@ def deform_conv2d_pallas(
                  ((0, 0), (pad, pad + 2), (pad, wwin - tile - pad), (0, 0)))
     w9 = weight.reshape(9, c_in, c_out).astype(compute_dtype)
 
-    q = np.arange(flat_k, dtype=np.int32)
-    r_of = jnp.asarray((q // wwin)[None], jnp.int32)
-    m_of = jnp.asarray((q % wwin)[None], jnp.int32)
+    q = np.arange(ksub, dtype=np.int32)
+    r_of = jnp.asarray((q // swin)[None], jnp.int32)   # [1, ksub]
+    m_of = jnp.asarray((q % swin)[None], jnp.int32)
 
     kernel = functools.partial(
         _dcn_kernel, halo=halo, h=h, w=w, c_in=c_in, c_out=c_out,
-        tile=tile, compute_dtype=compute_dtype)
+        tile=tile, sub=sub, rblk=rblk, compute_dtype=compute_dtype)
 
     # offsets laid out [B, H, 18, W] so the kernel slices taps from the
     # sublane dim and pixels from the lane dim.  Batch rides the OUTER grid
@@ -182,31 +231,32 @@ def deform_conv2d_pallas(
     off_t = offset.astype(jnp.float32).transpose(0, 1, 3, 2)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // rblk),
         in_specs=[
-            pl.BlockSpec((1, flat_k), lambda bi, y: (0, 0),
+            pl.BlockSpec((1, ksub), lambda bi, y: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, flat_k), lambda bi, y: (0, 0),
+            pl.BlockSpec((1, ksub), lambda bi, y: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 18, w), lambda bi, y: (bi, y, 0, 0),
+            pl.BlockSpec((1, rblk, 18, w), lambda bi, y: (bi, y, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, w, c_out),
+        out_specs=pl.BlockSpec((1, rblk, w, c_out),
                                lambda bi, y: (bi, y, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, flat_k, c_in), compute_dtype),
+            pltpu.VMEM((2, rbuf, wwin, c_in), compute_dtype),
             pltpu.SemaphoreType.DMA((2, rbuf)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * (w // tile) * 9 * tile
-            * ((2 * halo + 2) * wwin + c_out) * c_in,
-            bytes_accessed=b * (h * (w // tile) * flat_k * c_in * 2
+            flops=2 * b * h * (w // sub) * 9 * sub
+            * (ksub // 3 + c_out) * c_in,
+            bytes_accessed=b * ((h // rblk) * (w // tile) * rbuf * wwin
+                                * c_in * 2
                                 + h * w * (18 * 4 + c_out * 4)),
             transcendentals=0,
         ),
