@@ -65,7 +65,7 @@ def main(config_name="r50_fpn_slotvps"):
         semantic_head=dataclasses.replace(
             base.semantic_head, dcn_impl="pallas"),
         postprocess=dataclasses.replace(
-            base.postprocess, impl="pallas", stack_dtype="bfloat16"))
+            base.postprocess, impl="fused"))
     params = init_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

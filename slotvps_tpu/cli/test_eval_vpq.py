@@ -74,8 +74,7 @@ def tune_config(cfg):
         m, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(m.semantic_head,
                                           dcn_impl="pallas"),
-        postprocess=dataclasses.replace(m.postprocess, impl="pallas",
-                                        stack_dtype="bfloat16"))
+        postprocess=dataclasses.replace(m.postprocess, impl="fused"))
     return dataclasses.replace(cfg, model=m)
 
 

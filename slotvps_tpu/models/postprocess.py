@@ -169,35 +169,38 @@ def _small_fn(cfg: PostprocessConfig):
     raise ValueError(cfg.filter_small_option)
 
 
-def _postprocess_fused(masks_hwk, scores, classes, valid, embeds, is_thing,
+def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
                        fcn_output, cfg: PostprocessConfig):
-    """Fully fused TPU path: the [H, W, K] upsampled stack never exists
-    (ops/pallas/postproc_fused.py)."""
-    from slotvps_tpu.ops.pallas.postproc_fused import (
-        argmax_areas_pallas, claim_scan_fused, theta_pallas)
+    """Fully fused TPU path: the [H, W, K] upsampled stack never exists.
+
+    Slot-major v3 kernels (ops/pallas/postproc_v3.py): slots on sublanes,
+    low-res width on lanes, full-res maps phase-blocked [4, 4, h, w]."""
+    from slotvps_tpu.ops.pallas.postproc_v3 import (
+        argmax_v3, claim_v3, from_blocked, theta_v3)
 
     if not cfg.apply_mask_removal_only_ins:
         raise NotImplementedError(
             "only apply_mask_removal_only_ins=True is supported")
-    theta = theta_pallas(masks_hwk, valid, cfg.pixel_threshold)
-    keep_things, owner = claim_scan_fused(
-        masks_hwk, theta, classes, is_thing, valid, cfg.fraction_threshold)
+    theta_b = theta_v3(masks_khw, valid, cfg.pixel_threshold)
+    keep_things, owner_b = claim_v3(
+        masks_khw, theta_b, classes, is_thing, valid,
+        cfg.fraction_threshold)
     kept = jnp.where(is_thing, keep_things, valid)
     small = _small_fn(cfg)
 
     def one_pass(kept_, dedup):
-        m_id, areas = argmax_areas_pallas(masks_hwk, owner, kept_, is_thing)
+        m_id_b, areas = argmax_v3(masks_khw, owner_b, kept_, is_thing)
         if dedup:
             dmap = _dedup_map(classes, is_thing, kept_)
-            m_id = dmap[m_id]
+            m_id_b = dmap[m_id_b]
             k = areas.shape[0]
             fold = (dmap[None, :] == jnp.arange(k)[:, None]).astype(
                 jnp.int32)
             areas = fold @ areas
         areas = jnp.where(kept_, areas, 0)
-        return m_id, areas
+        return m_id_b, areas
 
-    m_id, areas = one_pass(kept, True)
+    m_id_b, areas = one_pass(kept, True)
 
     def cond(state):
         kept_, _, areas_ = state
@@ -209,9 +212,10 @@ def _postprocess_fused(masks_hwk, scores, classes, valid, embeds, is_thing,
         m_id_, areas_ = one_pass(kept_, False)
         return kept_, m_id_, areas_
 
-    kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
-    return _finish(kept, m_id, classes, scores, embeds, is_thing,
-                   fcn_output, cfg)
+    kept, m_id_b, areas = jax.lax.while_loop(
+        cond, body, (kept, m_id_b, areas))
+    return _finish(kept, from_blocked(m_id_b), classes, scores, embeds,
+                   is_thing, fcn_output, cfg)
 
 
 def postprocess_frame(
@@ -247,11 +251,11 @@ def postprocess_frame(
     masks = pred_masks[perm]
     is_thing = classes > cfg.num_stuff - 1
 
-    masks_hwk = masks.transpose(1, 2, 0)
     if cfg.impl == "fused" and cfg.apply_mask_removal \
             and (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
-        return _postprocess_fused(masks_hwk, scores, classes, valid,
+        return _postprocess_fused(masks, scores, classes, valid,
                                   embeds, is_thing, fcn_output, cfg)
+    masks_hwk = masks.transpose(1, 2, 0)
     # the [H, W, K] stack in cfg.stack_dtype (bf16 halves HBM traffic of
     # every subsequent pass; reductions below accumulate in f32)
     masks_hwk = masks_hwk.astype(jnp.dtype(cfg.stack_dtype))
