@@ -162,7 +162,8 @@ def theta_v3(m_klow, valid, pixel_threshold, hb=8):
 
 
 def _claim_kernel(meta_ref, frac_ref, theta_ref, m_hbm, kept_ref, owner_ref,
-                  owner, owner_class, lg_store, rows, sem, *, h, w, kp):
+                  owner, owner_class, lg_store, rows, keep_s, sem,
+                  *, h, w, kp):
     i = pl.program_id(0)
     nk = pl.num_programs(0)
 
@@ -171,43 +172,53 @@ def _claim_kernel(meta_ref, frac_ref, theta_ref, m_hbm, kept_ref, owner_ref,
         owner[:] = jnp.full((4, 4, h, w), -1, jnp.int32)
         owner_class[:] = jnp.full((4, 4, h, w), -1, jnp.int32)
 
-    cp = pltpu.make_async_copy(m_hbm.at[i], rows, sem)
-    cp.start()
-    cp.wait()
-
     cls = meta_ref[0, i]
     flags = meta_ref[1, i]
     frac = frac_ref[0]
+    keep_s[0] = 0
 
-    # pass 1: binarize all 16 phase planes, store them, and accumulate the
-    # slot's pixel count + same-class-claimed overlap
-    n = jnp.zeros((), jnp.float32)
-    ovl = jnp.zeros((), jnp.float32)
-    prev_r = rows[:h, :]
-    cent_r = rows[1:h + 1, :]
-    next_r = rows[2:h + 2, :]
-    for pr in range(4):
-        wp, wn = _W_PREV[pr], _W_NEXT[pr]
-        rv = (1.0 - wp - wn) * cent_r
-        if wp:
-            rv = rv + wp * prev_r
-        if wn:
-            rv = rv + wn * next_r
-        for pc in range(4):
-            vals = _col_phase(pc, rv[:, 0:w], rv[:, 1:w + 1],
-                              rv[:, 2:w + 2])               # [h, w]
-            lg = (flags >= 0) & (vals >= theta_ref[pr, pc])
-            lg_store[pr, pc] = lg.astype(jnp.int8)
-            n += jnp.sum(lg.astype(jnp.float32))
-            same = (owner[pr, pc] >= 0) & (owner_class[pr, pc] == cls)
-            ovl += jnp.sum((lg & same).astype(jnp.float32))
+    # Only valid THING slots participate: stuff/invalid slots never claim
+    # and keep_things is False for them regardless
+    # (apply_mask_removal_only_ins, reference :601-639; models/
+    # postprocess.py kept = where(is_thing, keep_things, valid)), so the
+    # whole plane pass — including the DMA — is skipped for them.  At the
+    # production 0.85 score threshold most slots are invalid, making the
+    # claim scan cost proportional to the number of detections.
+    @pl.when(flags == 1)
+    def _():
+        cp = pltpu.make_async_copy(m_hbm.at[i], rows, sem)
+        cp.start()
+        cp.wait()
+        # pass 1: binarize all 16 phase planes, store them, and accumulate
+        # the slot's pixel count + same-class-claimed overlap
+        n = jnp.zeros((), jnp.float32)
+        ovl = jnp.zeros((), jnp.float32)
+        prev_r = rows[:h, :]
+        cent_r = rows[1:h + 1, :]
+        next_r = rows[2:h + 2, :]
+        for pr in range(4):
+            wp, wn = _W_PREV[pr], _W_NEXT[pr]
+            rv = (1.0 - wp - wn) * cent_r
+            if wp:
+                rv = rv + wp * prev_r
+            if wn:
+                rv = rv + wn * next_r
+            for pc in range(4):
+                vals = _col_phase(pc, rv[:, 0:w], rv[:, 1:w + 1],
+                                  rv[:, 2:w + 2])            # [h, w]
+                lg = vals >= theta_ref[pr, pc]
+                lg_store[pr, pc] = lg.astype(jnp.int8)
+                n += jnp.sum(lg.astype(jnp.float32))
+                same = (owner[pr, pc] >= 0) & (owner_class[pr, pc] == cls)
+                ovl += jnp.sum((lg & same).astype(jnp.float32))
 
-    degenerate = (n == 0) | (n == 16.0 * h * w)
-    reject = degenerate | (ovl / jnp.maximum(n, 1.0) > frac)
-    keep = (flags == 1) & ~reject
-    kept_ref[i] = keep.astype(jnp.int32)
+        degenerate = (n == 0) | (n == 16.0 * h * w)
+        reject = degenerate | (ovl / jnp.maximum(n, 1.0) > frac)
+        keep_s[0] = (~reject).astype(jnp.int32)
 
-    @pl.when(keep)
+    kept_ref[i] = keep_s[0]
+
+    @pl.when(keep_s[0] != 0)
     def _():
         for pr in range(4):
             for pc in range(4):
@@ -255,6 +266,7 @@ def claim_v3(m_klow, theta_b, labels, is_thing, valid, fraction_threshold):
             pltpu.VMEM((4, 4, h, w), jnp.int32),
             pltpu.VMEM((4, 4, h, w), jnp.int8),
             pltpu.VMEM((h + 8, _round128(w + 2)), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
