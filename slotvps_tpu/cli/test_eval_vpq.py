@@ -60,6 +60,14 @@ def parse_args(argv=None):
                         "of per frame; assumes videos align with "
                         "nframes_span_test chunks, as the eval datasets "
                         "do — verified bit-identical to streaming)")
+    p.add_argument("--batch_videos", type=int, default=0,
+                   help="lockstep-batch N videos per device step (the "
+                        "bench.py configuration — frame t of N clips in "
+                        "one dispatch; shards the video axis over the "
+                        "device mesh when >1 device is visible). Like "
+                        "--scan, requires videos aligned with "
+                        "nframes_span_test chunks; verified bit-identical "
+                        "to streaming")
     p.add_argument("--draw_line_charts", action="store_true",
                    help="per-video / per-category VPQ figures (reference "
                         "--draw_line_charts)")
@@ -135,38 +143,79 @@ def main(argv=None):
                 dt = time.time() - t0
                 print(f"[{done}/{len(dataset)}] {done / dt:.2f} frames/s")
 
-        if args.scan:
-            # whole-clip scan: one dispatch + one readback per test span
-            from slotvps_tpu.inference import VideoScanner
-
+        def video_chunks():
+            """Per-video item lists; enforces the chunk == video-span
+            assumption --scan/--batch_videos document: the track pool and
+            carried reference features must not bleed across videos."""
             span = cfg.data.nframes_span_test
-            scanner = None
-            loader = PrefetchLoader(dataset)
-            items = []
-            for item in loader:
+            items, done = [], 0
+            for item in PrefetchLoader(dataset):
                 items.append(item)
-                if len(items) == span or len(names) + len(items) \
-                        == len(dataset):
-                    # enforce the chunk == video-span assumption the help
-                    # text documents: the track pool and carried reference
-                    # features must not bleed across video boundaries
+                if len(items) == span or done + len(items) == len(dataset):
                     firsts = [i for i, it in enumerate(items)
                               if it["meta"].get("is_first")]
                     if firsts != [0]:
                         raise RuntimeError(
-                            f"--scan requires videos aligned with "
-                            f"nframes_span_test={span} chunks, but chunk "
-                            f"starting at frame {len(names)} has "
+                            f"--scan/--batch_videos require videos aligned "
+                            f"with nframes_span_test={span} chunks, but "
+                            f"the chunk starting at frame {done} has "
                             f"is_first flags at positions {firsts} "
-                            f"(expected [0]); rerun without --scan")
-                    if scanner is None:
-                        scanner = VideoScanner(
-                            params, cfg,
-                            image_size=tuple(items[0]["meta"]["ori_shape"]))
-                    results = scanner.run_video([i["img"] for i in items])
-                    for res, it in zip(results, items):
-                        emit(res, it["meta"])
+                            f"(expected [0]); rerun in streaming mode")
+                    done += len(items)
+                    yield items
                     items = []
+
+        if args.scan:
+            # whole-clip scan: one dispatch + one readback per test span
+            from slotvps_tpu.inference import VideoScanner
+
+            scanner = None
+            for items in video_chunks():
+                if scanner is None:
+                    scanner = VideoScanner(
+                        params, cfg,
+                        image_size=tuple(items[0]["meta"]["ori_shape"]))
+                results = scanner.run_video([i["img"] for i in items])
+                for res, it in zip(results, items):
+                    emit(res, it["meta"])
+        elif args.batch_videos:
+            # lockstep batched multi-video inference: frame t of N videos
+            # per device step, video axis sharded over the mesh — the
+            # bench.py configuration (BASELINE config 5)
+            from slotvps_tpu.inference import BatchedVideoPipeline
+
+            bsz = args.batch_videos
+            pipeline_b = None
+            videos, metas = [], []
+
+            def flush_group():
+                nonlocal pipeline_b
+                nvid = len(videos)
+                while len(videos) < bsz:
+                    # pad the tail group by repeating the last video; the
+                    # padded copies' results are dropped below
+                    videos.append(videos[-1])
+                    metas.append(metas[-1])
+                if pipeline_b is None:
+                    pipeline_b = BatchedVideoPipeline(
+                        params, cfg, bsz,
+                        image_size=tuple(metas[0][0]["ori_shape"]))
+                    print(f"batched inference: {bsz} videos/step over "
+                          f"{pipeline_b.n_devices} device(s)")
+                res = pipeline_b.run_videos(videos)
+                for v in range(nvid):
+                    for t, meta in enumerate(metas[v]):
+                        emit(res[v][t], meta)
+                videos.clear()
+                metas.clear()
+
+            for items in video_chunks():
+                videos.append([i["img"] for i in items])
+                metas.append([i["meta"] for i in items])
+                if len(videos) == bsz:
+                    flush_group()
+            if videos:
+                flush_group()
         else:
             for item in PrefetchLoader(dataset):
                 meta = item["meta"]

@@ -109,41 +109,53 @@ class InferencePipeline:
 
     def _finish_frame(self, post: PostprocResult,
                       is_first: bool) -> FrameResult:
-        kept = np.asarray(post.kept)
-        is_thing = np.asarray(post.is_thing)
-        labels = np.asarray(post.labels)
-        scores = np.asarray(post.scores)
-        embeds = np.asarray(post.embeddings)
+        return finish_frame(post, is_first, self._track,
+                            lambda cur, prev: self._match(
+                                self.params, cur, prev),
+                            self.stuff_num)
 
-        kept_idx = np.nonzero(kept)[0]
-        kept_thing = kept & is_thing
-        thing_idx = np.nonzero(kept_thing)[0]
 
-        cls_inds = labels[thing_idx] - (self.stuff_num - 1)
-        cls_prob = scores[thing_idx]
+def finish_frame(post: PostprocResult, is_first: bool, track: TrackState,
+                 match_fn, stuff_num: int) -> FrameResult:
+    """Host-side per-frame assembly: variable-length lists + greedy id
+    assignment against ``track``'s pool (reference ``pano_results`` dict +
+    tracking update, vps_temporal_slots.py:332-409, :459-465).
 
-        cur_emb = embeds[kept_idx]
-        if is_first or self._track.embeddings is None:
-            all_ids = self._track.start(cur_emb)
-        elif len(kept_idx) == 0:
-            all_ids = np.zeros((0,), np.int64)
-        else:
-            match = np.asarray(self._match(
-                self.params, jnp.asarray(cur_emb),
-                jnp.asarray(self._track.embeddings)))
-            all_ids = self._track.update(match, cur_emb)
-        # export thing ids only (reference :338-339, :408-409)
-        thing_pos_in_kept = np.searchsorted(kept_idx, thing_idx)
-        obj_ids = all_ids[thing_pos_in_kept] if len(all_ids) else \
-            np.zeros((0,), np.int64)
+    ``match_fn(cur_emb, prev_emb)`` runs the track head on device."""
+    kept = np.asarray(post.kept)
+    is_thing = np.asarray(post.is_thing)
+    labels = np.asarray(post.labels)
+    scores = np.asarray(post.scores)
+    embeds = np.asarray(post.embeddings)
 
-        return FrameResult(
-            sseg=np.asarray(post.sseg).astype(np.uint8),
-            panoptic=np.asarray(post.panoptic).astype(np.uint8),
-            cls_inds=cls_inds.astype(np.int64),
-            cls_prob=cls_prob.astype(np.float32),
-            obj_ids=obj_ids.astype(np.int64),
-        )
+    kept_idx = np.nonzero(kept)[0]
+    kept_thing = kept & is_thing
+    thing_idx = np.nonzero(kept_thing)[0]
+
+    cls_inds = labels[thing_idx] - (stuff_num - 1)
+    cls_prob = scores[thing_idx]
+
+    cur_emb = embeds[kept_idx]
+    if is_first or track.embeddings is None:
+        all_ids = track.start(cur_emb)
+    elif len(kept_idx) == 0:
+        all_ids = np.zeros((0,), np.int64)
+    else:
+        match = np.asarray(match_fn(jnp.asarray(cur_emb),
+                                    jnp.asarray(track.embeddings)))
+        all_ids = track.update(match, cur_emb)
+    # export thing ids only (reference :338-339, :408-409)
+    thing_pos_in_kept = np.searchsorted(kept_idx, thing_idx)
+    obj_ids = all_ids[thing_pos_in_kept] if len(all_ids) else \
+        np.zeros((0,), np.int64)
+
+    return FrameResult(
+        sseg=np.asarray(post.sseg).astype(np.uint8),
+        panoptic=np.asarray(post.panoptic).astype(np.uint8),
+        cls_inds=cls_inds.astype(np.int64),
+        cls_prob=cls_prob.astype(np.float32),
+        obj_ids=obj_ids.astype(np.int64),
+    )
 
 
 def run_video(pipeline: InferencePipeline,
@@ -153,6 +165,107 @@ def run_video(pipeline: InferencePipeline,
     for t, img in enumerate(frames):
         results.append(pipeline.process_frame(img, is_first=(t == 0)))
     return results
+
+
+class BatchedVideoPipeline:
+    """Lockstep batched multi-video inference (BASELINE config 5).
+
+    Processes frame t of ``batch`` videos in ONE device step — the exact
+    configuration ``bench.py`` measures — and shards the video axis over a
+    ``jax.sharding.Mesh`` when more than one device is visible.  Reference
+    analog: round-robin dataset index sharding over GPUs + pickle gather
+    (reference mmdet/core/evaluation/eval_hooks.py:40-79); here the video
+    batch axis IS the shard axis, each device keeps its own videos
+    end-to-end (``shard_map``), and no collective ever moves image data.
+
+    Videos must share a length (the eval datasets' ``nframes_span_test``
+    spans guarantee this) and a frame shape.  Tracking stays on host with
+    one :class:`TrackState` per video — bit-identical to the streaming
+    :class:`InferencePipeline` per video.
+    """
+
+    def __init__(self, params: Dict, config: Config, batch: int,
+                 image_size: Optional[tuple] = None,
+                 devices: Optional[Sequence] = None):
+        self.params = params
+        self.config = config
+        self.batch = batch
+        self.stuff_num = config.model.stuff_num
+        cfg = config.model
+
+        if devices is None:
+            devices = jax.devices()
+        # largest divisor of `batch` that fits the visible devices: each
+        # device gets an equal, statically-shaped slice of the video axis
+        ndev = max(d for d in range(1, len(devices) + 1) if batch % d == 0)
+        self.n_devices = ndev
+        lb = batch // ndev
+
+        def _extract_local(params, imgs):
+            return extract_features(params, cfg, imgs)
+
+        def _decode_post_local(params, ref_feats, cur_feats):
+            outs = decode_pair(params, cfg, ref_feats, cur_feats)
+            out_size = image_size or outs.fcn_output.shape[1:3]
+            # per-video postproc loop (measured faster than vmap: lockstep
+            # while_loops + a serialized (B, K) claim grid — see bench.py)
+            posts = [postprocess_frame(
+                outs.pred_logits[i], outs.pred_masks[i],
+                outs.embeddings[i], outs.fcn_output[i], tuple(out_size),
+                cfg.postprocess) for i in range(lb)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *posts)
+
+        if ndev > 1:
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            mesh = Mesh(np.array(devices[:ndev]), ("video",))
+            # check_vma=False: postproc's scan/while_loop carries start
+            # from unvarying constants, which trips the varying-manual-axes
+            # checker even though the computation is purely per-shard
+            self._extract_b = jax.jit(jax.shard_map(
+                _extract_local, mesh=mesh,
+                in_specs=(P(), P("video")), out_specs=P("video"),
+                check_vma=False))
+            self._decode_post_b = jax.jit(jax.shard_map(
+                _decode_post_local, mesh=mesh,
+                in_specs=(P(), P("video"), P("video")),
+                out_specs=P("video"), check_vma=False))
+        else:
+            self._extract_b = jax.jit(_extract_local)
+            self._decode_post_b = jax.jit(_decode_post_local)
+
+        @jax.jit
+        def _match(params, cur_emb, prev_emb):
+            return apply_track_head(params["track_head"], cur_emb, prev_emb)
+
+        self._match = _match
+
+    def run_videos(self, videos: Sequence[Sequence[np.ndarray]]
+                   ) -> List[List[FrameResult]]:
+        """videos: ``batch`` clips, each a list of [1, H, W, 3] normalized
+        frames of equal length.  Returns one FrameResult list per video."""
+        assert len(videos) == self.batch, (len(videos), self.batch)
+        t_len = len(videos[0])
+        assert all(len(v) == t_len for v in videos), \
+            "all videos in a batch must share a length"
+        tracks = [TrackState() for _ in range(self.batch)]
+        results: List[List[FrameResult]] = [[] for _ in range(self.batch)]
+        ref_feats = None
+        for t in range(t_len):
+            imgs = jnp.asarray(
+                np.concatenate([v[t] for v in videos], axis=0))
+            cur_feats = self._extract_b(self.params, imgs)
+            posts = self._decode_post_b(
+                self.params, cur_feats if t == 0 else ref_feats, cur_feats)
+            ref_feats = cur_feats
+            host = jax.tree.map(np.asarray, posts)  # one readback per step
+            for v in range(self.batch):
+                post_v = jax.tree.map(lambda x: x[v], host)
+                results[v].append(finish_frame(
+                    post_v, t == 0, tracks[v],
+                    lambda cur, prev: self._match(self.params, cur, prev),
+                    self.stuff_num))
+        return results
 
 
 def _warn_pool_saturation(ids: np.ndarray, pool_capacity: int) -> None:
