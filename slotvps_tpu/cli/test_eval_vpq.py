@@ -103,6 +103,8 @@ def build_params(args, cfg):
 
 
 def main(argv=None):
+    from slotvps_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = parse_args(argv)
     cfg = named_config(args.config)
     if args.tuned:
@@ -115,7 +117,11 @@ def main(argv=None):
         args.ann_file, args.img_prefix,
         nframes_span_test=cfg.data.nframes_span_test,
         iid_divisor=cfg.data.iid_divisor,
-        scale=cfg.data.img_scale)
+        scale=cfg.data.img_scale,
+        # ship uint8 frames, normalize on device: 4x fewer bytes over the
+        # host->device link (the pipelines are upload/readback-bound on
+        # slow links; see inference._device_normalize)
+        uint8_images=True)
     print(f"dataset: {len(dataset)} frames")
 
     if args.load and osp.exists(cache):
@@ -127,6 +133,24 @@ def main(argv=None):
         n_params = sum(np.prod(p.shape) for p in
                        __import__("jax").tree.leaves(params))
         print(f"Model Params : {n_params / 1e6:.2f} M")
+
+        if args.checkpoint and args.checkpoint.endswith(".pth"):
+            # converted checkpoints: measure the offsets the trained
+            # conv_offset heads emit and widen the DCN sampling halo if
+            # they would clamp (the reference CUDA kernel is unbounded)
+            import dataclasses
+
+            from slotvps_tpu.utils.diagnostics import check_dcn_halo
+            mx, eff, rec = check_dcn_halo(params, cfg.model, warn=False)
+            print(f"DCN offsets: checkpoint emits up to {mx:.2f} px "
+                  f"(halo in effect: {eff} px)")
+            if rec > eff:
+                print(f"WARNING: raising dcn_halo {eff} -> {rec} so no "
+                      "sample clamps")
+                m = cfg.model
+                cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                    m, semantic_head=dataclasses.replace(
+                        m.semantic_head, dcn_halo=rec)))
 
         pipeline = None
         ssegs, panos, cls_inds, obj_ids, names = [], [], [], [], []
@@ -148,8 +172,13 @@ def main(argv=None):
             assumption --scan/--batch_videos document: the track pool and
             carried reference features must not bleed across videos."""
             span = cfg.data.nframes_span_test
+            # batched mode: decode a full video group ahead so the host
+            # pipeline overlaps the device steps (125 GB hosts; ~6 MB per
+            # decoded uint8 1024x2048 frame)
+            depth = max(2, (span * args.batch_videos + 1) // 2) \
+                if args.batch_videos else 2
             items, done = [], 0
-            for item in PrefetchLoader(dataset):
+            for item in PrefetchLoader(dataset, prefetch=depth):
                 items.append(item)
                 if len(items) == span or done + len(items) == len(dataset):
                     firsts = [i for i, it in enumerate(items)
@@ -174,7 +203,8 @@ def main(argv=None):
                 if scanner is None:
                     scanner = VideoScanner(
                         params, cfg,
-                        image_size=tuple(items[0]["meta"]["ori_shape"]))
+                        image_size=tuple(items[0]["meta"]["ori_shape"]),
+                        valid_hw=tuple(items[0]["meta"]["img_shape"]))
                 results = scanner.run_video([i["img"] for i in items])
                 for res, it in zip(results, items):
                     emit(res, it["meta"])
@@ -199,10 +229,18 @@ def main(argv=None):
                 if pipeline_b is None:
                     pipeline_b = BatchedVideoPipeline(
                         params, cfg, bsz,
-                        image_size=tuple(metas[0][0]["ori_shape"]))
+                        image_size=tuple(metas[0][0]["ori_shape"]),
+                        valid_hw=tuple(metas[0][0]["img_shape"]))
                     print(f"batched inference: {bsz} videos/step over "
                           f"{pipeline_b.n_devices} device(s)")
+                tg = time.time()
                 res = pipeline_b.run_videos(videos)
+                dt = time.time() - tg
+                nf = nvid * len(videos[0])
+                print(f"group of {nvid} videos: {nf} frames in {dt:.2f}s "
+                      f"= {bsz * len(videos[0]) / dt:.2f} frames/s "
+                      "(device steps + readback; first group includes "
+                      "compile)")
                 for v in range(nvid):
                     for t, meta in enumerate(metas[v]):
                         emit(res[v][t], meta)
@@ -224,7 +262,8 @@ def main(argv=None):
                     # when the processed size differs (VIPER 1080p pads to
                     # 1088 — reference vps_temporal_slots.py:440-451)
                     pipeline = InferencePipeline(
-                        params, cfg, image_size=tuple(meta["ori_shape"]))
+                        params, cfg, image_size=tuple(meta["ori_shape"]),
+                        valid_hw=tuple(meta["img_shape"]))
                 res = pipeline.process_frame(item["img"], meta["is_first"])
                 emit(res, meta)
 

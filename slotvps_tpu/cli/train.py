@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--repeat_times", type=int, default=8)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_workers", type=int, default=2,
+                   help="batch-assembly worker threads (reference analog: "
+                        "DataLoader workers, loader/build_loader.py:18)")
+    p.add_argument("--prefetch_batches", type=int, default=2,
+                   help="per-worker look-ahead of assembled batches")
     return p.parse_args(argv)
 
 
@@ -206,6 +211,9 @@ def load_train_state(path, params, opt_state):
 
 
 def main(argv=None):
+    from slotvps_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -254,15 +262,34 @@ def main(argv=None):
     step_fn = jax.jit(functools.partial(
         train_step, cfg=cfg.model, optimizer=optimizer))
 
-    rng = np.random.default_rng(args.seed + start_it)
+    from slotvps_tpu.data.loader import prefetch_ordered
+
     it = start_it
     t0 = time.time()
+    host_wait = 0.0
     start_epoch = start_it // steps_per_epoch
     for epoch in range(start_epoch, args.total_epochs):
-        order = rng.permutation(len(dataset))
-        for s in range(it % steps_per_epoch, steps_per_epoch):
+        # per-epoch/per-step derived rngs: deterministic under resume AND
+        # under parallel batch assembly (each step's sampling is
+        # independent of worker scheduling)
+        order = np.random.default_rng((args.seed, epoch)).permutation(
+            len(dataset))
+
+        def build(s):
+            srng = np.random.default_rng((args.seed, epoch, int(s)))
             idxs = order[s * batch:(s + 1) * batch]
-            hb = make_batch(dataset, idxs, args, cfg, rng, aug)
+            return make_batch(dataset, idxs, args, cfg, srng, aug)
+
+        s0 = it % steps_per_epoch
+        # batch assembly overlaps the device step: workers decode/augment
+        # batches s+1, s+2... while step s trains
+        stream = prefetch_ordered(build, range(s0, steps_per_epoch),
+                                  prefetch=args.prefetch_batches,
+                                  num_threads=args.data_workers)
+        for _ in range(s0, steps_per_epoch):
+            tw = time.perf_counter()
+            hb = next(stream)
+            host_wait += time.perf_counter() - tw
             db = TrainBatch(*(jax.device_put(jnp.asarray(x), bsh)
                               for x in hb))
             with mesh:
@@ -270,10 +297,12 @@ def main(argv=None):
             it += 1
             if it % args.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = (time.time() - t0) / max(it - start_it, 1)
+                n_it = max(it - start_it, 1)
+                dt = (time.time() - t0) / n_it
                 print(f"epoch {epoch} iter {it}: "
                       + " ".join(f"{k}={v:.4f}" for k, v in m.items())
-                      + f" ({dt:.2f}s/iter)")
+                      + f" ({dt:.2f}s/iter, host wait "
+                      + f"{host_wait / n_it:.2f}s/iter)")
         save_train_state(os.path.join(args.work_dir,
                                       f"epoch_{epoch + 1}"),
                          params, opt_state, it)

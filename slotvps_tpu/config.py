@@ -93,6 +93,14 @@ class SemanticHeadConfig:
     gn_groups: int = 32
     # 'jax' = pure-XLA gather implementation, 'pallas' = TPU kernel.
     dcn_impl: str = "jax"
+    # DCN sampling-halo radius in pixels: offsets beyond +-halo of a tap's
+    # rigid position are clamped (the reference CUDA kernel is unbounded —
+    # deform_conv_cuda_kernel.cu deformable_im2col).  0 = per-impl default
+    # (8 for 'jax', 4 for the tuned 'pallas' kernel).  Checkpoint loading
+    # measures the max offset the converted conv_offset heads emit on a
+    # calibration image and auto-raises this when it would clamp
+    # (utils/diagnostics.py).
+    dcn_halo: int = 0
 
 
 @_frozen

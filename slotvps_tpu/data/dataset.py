@@ -90,7 +90,12 @@ class CityscapesVPSDataset:
         nframes_span_test: int = 30,
         iid_divisor: int = 10000,
         scale: Tuple[int, int] = (2048, 1024),
+        uint8_images: bool = False,
     ):
+        """``uint8_images`` emits padded uint8 BGR frames and defers
+        normalization to the device (4x fewer host->device bytes; the
+        inference pipelines detect the dtype — see
+        inference._device_normalize)."""
         with open(ann_file) as f:
             data = json.load(f)
         self.img_infos: List[dict] = data["images"]
@@ -100,6 +105,7 @@ class CityscapesVPSDataset:
         self.nframes_span_test = nframes_span_test
         self.iid_divisor = iid_divisor
         self.scale = scale
+        self.uint8_images = uint8_images
 
     def __len__(self):
         return len(self.img_infos)
@@ -123,7 +129,8 @@ class CityscapesVPSDataset:
         return img
 
     def __getitem__(self, idx: int) -> Dict:
-        img, meta = preprocess(self.load_image(idx), self.scale)
+        img, meta = preprocess(self.load_image(idx), self.scale,
+                               keep_uint8=self.uint8_images)
         vid, fid = self.frame_ids(idx)
         meta.update(
             iid=self.img_infos[idx]["id"], vid=vid, fid=fid,

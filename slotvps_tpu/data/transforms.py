@@ -264,6 +264,136 @@ def fixed_image_random_shift(img, gt: FrameGT, seg, rng,
     return img2, gt2, seg2
 
 
+def expand(img: np.ndarray, gt: FrameGT, rng,
+           mean=(0, 0, 0), to_rgb=True, ratio_range=(1, 4)):
+    """Expand (reference transforms.py:1397-1449): with p=1/2, place the
+    image on a mean-filled canvas of ratio x its size at a random corner
+    offset; boxes translate, masks zero-pad.  ``mean`` is reversed when
+    ``to_rgb`` (the canvas fills the BGR image with the config's RGB mean
+    flipped, :1410-1413)."""
+    if rng.integers(2):
+        return img, gt
+    fill = tuple(mean[::-1] if to_rgb else mean)
+    h, w, c = img.shape
+    ratio = rng.uniform(*ratio_range)
+    eh, ew = int(h * ratio), int(w * ratio)
+    left = int(rng.uniform(0, ew - w))
+    top = int(rng.uniform(0, eh - h))
+    canvas = np.full((eh, ew, c), fill).astype(img.dtype)
+    canvas[top:top + h, left:left + w] = img
+    bboxes = gt.bboxes + np.tile((left, top), 2).astype(gt.bboxes.dtype)
+    masks = []
+    for m in gt.masks:
+        mm = np.zeros((eh, ew), m.dtype)
+        mm[top:top + h, left:left + w] = m
+        masks.append(mm)
+    return canvas, dataclasses.replace(gt, bboxes=bboxes, masks=masks)
+
+
+def min_iou_random_crop(img: np.ndarray, gt: FrameGT, rng,
+                        min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                        min_crop_size=0.3):
+    """MinIoURandomCrop (reference transforms.py:1452-1534): sample a crop
+    whose IoU with every GT box meets a randomly drawn threshold (mode 1 =
+    return unchanged); keep only boxes whose centers fall inside, clip
+    them, and crop the masks.
+
+    One deliberate divergence: the reference's ``random.uniform(w - new_w)``
+    (:1486-1487) is numpy ``uniform(low=w-new_w, high=1.0)`` — an upstream
+    mmdet quirk that pins the crop corner between 1 and w-new_w; we sample
+    the intended ``uniform(0, w-new_w)``."""
+    from slotvps_tpu.eval.detection import bbox_overlaps
+
+    h, w = img.shape[:2]
+    sample_mode = (1, *min_ious, 0)
+    while True:
+        mode = sample_mode[rng.integers(len(sample_mode))]
+        if mode == 1:
+            return img, gt
+        min_iou = mode
+        for _ in range(50):
+            new_w = rng.uniform(min_crop_size * w, w)
+            new_h = rng.uniform(min_crop_size * h, h)
+            if new_h / new_w < 0.5 or new_h / new_w > 2:
+                continue
+            left = rng.uniform(0, w - new_w)
+            top = rng.uniform(0, h - new_h)
+            patch = np.array((int(left), int(top), int(left + new_w),
+                              int(top + new_h)))
+            overlaps = bbox_overlaps(patch.reshape(-1, 4),
+                                     gt.bboxes.reshape(-1, 4)).reshape(-1)
+            if overlaps.size and overlaps.min() < min_iou:
+                continue
+            center = (gt.bboxes[:, :2] + gt.bboxes[:, 2:]) / 2
+            keep = ((center[:, 0] > patch[0]) & (center[:, 1] > patch[1])
+                    & (center[:, 0] < patch[2]) & (center[:, 1] < patch[3]))
+            if not keep.any():
+                continue
+            gt2 = gt.select(keep)
+            bboxes = gt2.bboxes.copy()
+            bboxes[:, 2:] = bboxes[:, 2:].clip(max=patch[2:])
+            bboxes[:, :2] = bboxes[:, :2].clip(min=patch[:2])
+            bboxes -= np.tile(patch[:2], 2)
+            img2 = img[patch[1]:patch[3], patch[0]:patch[2]]
+            masks = [m[patch[1]:patch[3], patch[0]:patch[2]]
+                     for m in gt2.masks]
+            return img2, dataclasses.replace(gt2, bboxes=bboxes,
+                                             masks=masks)
+
+
+# severity constants of the public imagecorruptions package (the reference
+# Corrupt transform, transforms.py:1537-1551, delegates to it wholesale;
+# its remaining corruptions need scipy/scikit-image and are out of scope)
+_CORRUPTIONS = {
+    "gaussian_noise": ([0.08, 0.12, 0.18, 0.26, 0.38],
+                       lambda x, c, r: x + r.normal(size=x.shape, scale=c)),
+    "shot_noise": ([60, 25, 12, 5, 3],
+                   lambda x, c, r: r.poisson(x * c) / c),
+    "impulse_noise": ([0.03, 0.06, 0.09, 0.17, 0.27], None),
+    "speckle_noise": ([0.15, 0.2, 0.35, 0.45, 0.6],
+                      lambda x, c, r: x * (1 + r.normal(size=x.shape,
+                                                        scale=c))),
+    "contrast": ([0.4, 0.3, 0.2, 0.1, 0.05],
+                 lambda x, c, r: (x - x.mean(axis=(0, 1), keepdims=True))
+                 * c + x.mean(axis=(0, 1), keepdims=True)),
+    "brightness": ([0.1, 0.2, 0.3, 0.4, 0.5],
+                   lambda x, c, r: x + c),
+    "gaussian_blur": ([1, 2, 3, 4, 6], "blur"),
+    "pixelate": ([0.6, 0.5, 0.4, 0.3, 0.25], "pixelate"),
+}
+
+
+def corrupt_image(img: np.ndarray, corruption: str, severity: int = 1,
+                  rng=None) -> np.ndarray:
+    """Corrupt (reference transforms.py:1537-1551) without the external
+    ``imagecorruptions`` dependency: the numpy/cv2-implementable subset
+    with that package's severity constants.  img: uint8 HxWx3."""
+    if corruption not in _CORRUPTIONS:
+        raise ValueError(
+            f"unsupported corruption '{corruption}'; available: "
+            f"{sorted(_CORRUPTIONS)}")
+    rng = rng or np.random.default_rng(0)
+    c_tab, fn = _CORRUPTIONS[corruption]
+    c = c_tab[severity - 1]
+    x = img.astype(np.float32) / 255.0
+    if fn == "blur":
+        out = cv2.GaussianBlur(x, (0, 0), sigmaX=c)
+    elif fn == "pixelate":
+        h, w = img.shape[:2]
+        small = cv2.resize(img, (int(w * c), int(h * c)),
+                           interpolation=cv2.INTER_AREA)
+        return cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+    elif corruption == "impulse_noise":
+        out = x.copy()
+        flip = rng.random(x.shape[:2]) < c
+        salt = rng.random(x.shape[:2]) < 0.5
+        out[flip & salt] = 1.0
+        out[flip & ~salt] = 0.0
+    else:
+        out = fn(x, c, rng)
+    return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+
+
 def gt_pids_from_obj_ids(gt_obj_ids: Sequence[int],
                          ref_obj_ids: Sequence[int]) -> np.ndarray:
     """Track-id labels: 1-based index into the reference frame's surviving

@@ -193,3 +193,82 @@ def eval_recalls(
                 tmp[ti] += matched
         recalls[pi] = tmp / max(total, 1)
     return recalls
+
+
+def xyxy2xywh(bbox) -> list:
+    """COCO bbox convention, mmdet '+1' width/height
+    (reference coco_utils.py:84-91)."""
+    b = np.asarray(bbox).tolist()
+    return [b[0], b[1], b[2] - b[0] + 1, b[3] - b[1] + 1]
+
+
+def det2json(img_ids, results) -> list:
+    """Per-image per-class detection arrays -> COCO result dicts
+    (reference coco_utils.py:109-123).
+
+    results[i][label] is an [N, 5] array (x1, y1, x2, y2, score); COCO
+    ``category_id`` is ``label + 1``."""
+    out = []
+    for img_id, result in zip(img_ids, results):
+        for label, bboxes in enumerate(result):
+            for row in np.asarray(bboxes):
+                out.append(dict(image_id=img_id, bbox=xyxy2xywh(row[:4]),
+                                score=float(row[4]),
+                                category_id=label + 1))
+    return out
+
+
+def proposal2json(img_ids, results) -> list:
+    """Class-agnostic proposals -> COCO dicts (reference
+    coco_utils.py:94-106): every entry gets category_id 1."""
+    out = []
+    for img_id, bboxes in zip(img_ids, results):
+        for row in np.asarray(bboxes):
+            out.append(dict(image_id=img_id, bbox=xyxy2xywh(row[:4]),
+                            score=float(row[4]), category_id=1))
+    return out
+
+
+def json2det(json_results, img_ids, num_classes) -> list:
+    """Inverse of :func:`det2json`: COCO result dicts back to per-image
+    per-class [N, 5] arrays (the round trip the reference gets from
+    pycocotools ``loadRes``, coco_utils.py:34)."""
+    by_img = {i: [[] for _ in range(num_classes)] for i in img_ids}
+    for d in json_results:
+        x, y, w, h = d["bbox"]
+        by_img[d["image_id"]][d["category_id"] - 1].append(
+            [x, y, x + w - 1, y + h - 1, d["score"]])
+    return [[np.asarray(c, np.float32).reshape(-1, 5) for c in
+             by_img[i]] for i in img_ids]
+
+
+def results2json(img_ids, results, out_file: str) -> dict:
+    """Write detection/proposal results as COCO json files (reference
+    coco_utils.py:192-220).  Returns {result_type: path}."""
+    import json
+
+    files = {}
+    if isinstance(results[0], list):
+        payload = det2json(img_ids, results)
+        files["bbox"] = f"{out_file}.bbox.json"
+        files["proposal"] = f"{out_file}.bbox.json"
+        with open(files["bbox"], "w") as fh:
+            json.dump(payload, fh)
+    elif isinstance(results[0], np.ndarray):
+        payload = proposal2json(img_ids, results)
+        files["proposal"] = f"{out_file}.proposal.json"
+        with open(files["proposal"], "w") as fh:
+            json.dump(payload, fh)
+    else:
+        raise TypeError(f"invalid results element: {type(results[0])}")
+    return files
+
+
+def confusion_matrix(gt_label: np.ndarray, pred_label: np.ndarray,
+                     class_num: int) -> np.ndarray:
+    """Semantic-segmentation confusion matrix (reference
+    tools/dataset/base_dataset.py:471-489): counts[c_gt, c_pred]."""
+    index = (gt_label.astype(np.int64) * class_num
+             + pred_label.astype(np.int64)).ravel()
+    counts = np.bincount(index, minlength=class_num * class_num)
+    return counts.reshape(class_num, class_num).astype(np.float64)

@@ -30,6 +30,47 @@ from slotvps_tpu.models.track_head import apply_track_head
 from slotvps_tpu.tracking import TrackState
 
 
+def _device_normalize(img: jnp.ndarray, dcfg, valid_hw=None) -> jnp.ndarray:
+    """Deferred test-time normalization for uint8 uploads.
+
+    The host pipeline can ship padded uint8 BGR frames
+    (data/pipeline.preprocess ``keep_uint8``) — 4x fewer bytes over the
+    host->device link than normalized f32 — and this applies the exact
+    same BGR->RGB + ``(x - mean) / std`` affine on device (reference
+    Normalize, configs/cityscapes/r50_fpn_slotvps.py:122-123).  The dtype
+    branch is trace-time static: float inputs pass through untouched.
+
+    ``valid_hw`` = the un-padded (img_h, img_w): the reference pads AFTER
+    normalizing, so /32 pad rows/cols must be zero in normalized space —
+    pass ``meta['img_shape']`` whenever it differs from the padded shape
+    (the VIPER 1080->1088 case; full-res Cityscapes needs no padding)."""
+    if img.dtype != jnp.uint8:
+        return img
+    x = img[..., ::-1] if dcfg.to_rgb else img
+    x = x.astype(jnp.float32)
+    x = (x - jnp.asarray(dcfg.mean, jnp.float32)) \
+        / jnp.asarray(dcfg.std, jnp.float32)
+    if valid_hw is not None and tuple(valid_hw) != x.shape[1:3]:
+        h, w = valid_hw
+        rows = jnp.arange(x.shape[1]) < h
+        cols = jnp.arange(x.shape[2]) < w
+        x = jnp.where((rows[:, None] & cols[None, :])[None, :, :, None],
+                      x, 0.0)
+    return x
+
+
+def _compact_post(post: PostprocResult) -> PostprocResult:
+    """Shrink the per-frame result for the device->host hop: the panoptic /
+    semantic maps are uint8-valued by construction (stuff 0..10, things
+    11+rank with rank < proposal_num <= 127, void 255 — FrameResult stores
+    them as uint8 anyway), but postprocess_frame computes them in int32.
+    Casting on-device cuts readback bytes 4x — the eval CLI is readback-
+    bound on links much slower than a local PCIe (e.g. this dev
+    environment's tunneled TPU moves ~18 MB/s)."""
+    return post._replace(panoptic=post.panoptic.astype(jnp.uint8),
+                         sseg=post.sseg.astype(jnp.uint8))
+
+
 class FrameResult(NamedTuple):
     """Host-side per-frame result, reference ``pano_results`` dict
     (vps_temporal_slots.py:459-465)."""
@@ -45,11 +86,14 @@ class InferencePipeline:
     """Streaming per-frame inference with carried video state."""
 
     def __init__(self, params: Dict, config: Config,
-                 image_size: Optional[tuple] = None):
+                 image_size: Optional[tuple] = None,
+                 valid_hw: Optional[tuple] = None):
         """``image_size`` = (ori_h, ori_w) target output size; when it
         differs from the processed (padded) size, masks/semantic logits
         are resized to it on-device (reference
-        vps_temporal_slots.py:313-316, :440-451 — the VIPER 1080p path)."""
+        vps_temporal_slots.py:313-316, :440-451 — the VIPER 1080p path).
+        ``valid_hw`` = un-padded (img_h, img_w) for uint8 uploads (see
+        :func:`_device_normalize`)."""
         self.params = params
         self.config = config
         self.image_size = image_size
@@ -57,7 +101,8 @@ class InferencePipeline:
 
         @jax.jit
         def _extract(params, img):
-            return extract_features(params, cfg, img)
+            return extract_features(params, cfg, _device_normalize(
+                img, config.data, valid_hw))
 
         @jax.jit
         def _decode_post(params, ref_feats, cur_feats):
@@ -66,7 +111,7 @@ class InferencePipeline:
             post = postprocess_frame(
                 outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
                 outs.fcn_output[0], tuple(out_size), cfg.postprocess)
-            return post
+            return _compact_post(post)
 
         @jax.jit
         def _match(params, cur_emb, prev_emb):
@@ -186,7 +231,8 @@ class BatchedVideoPipeline:
 
     def __init__(self, params: Dict, config: Config, batch: int,
                  image_size: Optional[tuple] = None,
-                 devices: Optional[Sequence] = None):
+                 devices: Optional[Sequence] = None,
+                 valid_hw: Optional[tuple] = None):
         self.params = params
         self.config = config
         self.batch = batch
@@ -202,17 +248,18 @@ class BatchedVideoPipeline:
         lb = batch // ndev
 
         def _extract_local(params, imgs):
-            return extract_features(params, cfg, imgs)
+            return extract_features(params, cfg, _device_normalize(
+                imgs, config.data, valid_hw))
 
         def _decode_post_local(params, ref_feats, cur_feats):
             outs = decode_pair(params, cfg, ref_feats, cur_feats)
             out_size = image_size or outs.fcn_output.shape[1:3]
             # per-video postproc loop (measured faster than vmap: lockstep
             # while_loops + a serialized (B, K) claim grid — see bench.py)
-            posts = [postprocess_frame(
+            posts = [_compact_post(postprocess_frame(
                 outs.pred_logits[i], outs.pred_masks[i],
                 outs.embeddings[i], outs.fcn_output[i], tuple(out_size),
-                cfg.postprocess) for i in range(lb)]
+                cfg.postprocess)) for i in range(lb)]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *posts)
 
         if ndev > 1:
@@ -250,7 +297,23 @@ class BatchedVideoPipeline:
             "all videos in a batch must share a length"
         tracks = [TrackState() for _ in range(self.batch)]
         results: List[List[FrameResult]] = [[] for _ in range(self.batch)]
+
+        def drain(posts):
+            """Read back one step's stacked results + run host tracking.
+            Called AFTER the next step is dispatched: jax dispatch is
+            async, so the (readback-bound on slow links) device->host copy
+            of step t-1 overlaps step t's device compute."""
+            host = jax.tree.map(np.asarray, posts)
+            is_first = len(results[0]) == 0
+            for v in range(self.batch):
+                post_v = jax.tree.map(lambda x: x[v], host)
+                results[v].append(finish_frame(
+                    post_v, is_first, tracks[v],
+                    lambda cur, prev: self._match(self.params, cur, prev),
+                    self.stuff_num))
+
         ref_feats = None
+        pending = None
         for t in range(t_len):
             imgs = jnp.asarray(
                 np.concatenate([v[t] for v in videos], axis=0))
@@ -258,13 +321,10 @@ class BatchedVideoPipeline:
             posts = self._decode_post_b(
                 self.params, cur_feats if t == 0 else ref_feats, cur_feats)
             ref_feats = cur_feats
-            host = jax.tree.map(np.asarray, posts)  # one readback per step
-            for v in range(self.batch):
-                post_v = jax.tree.map(lambda x: x[v], host)
-                results[v].append(finish_frame(
-                    post_v, t == 0, tracks[v],
-                    lambda cur, prev: self._match(self.params, cur, prev),
-                    self.stuff_num))
+            if pending is not None:
+                drain(pending)
+            pending = posts
+        drain(pending)
         return results
 
 
@@ -294,7 +354,8 @@ class VideoScanner:
 
     def __init__(self, params: Dict, config: Config,
                  image_size: Optional[tuple] = None,
-                 pool_capacity: int = 256):
+                 pool_capacity: int = 256,
+                 valid_hw: Optional[tuple] = None):
         self.params = params
         self.config = config
         self.stuff_num = config.model.stuff_num
@@ -304,7 +365,8 @@ class VideoScanner:
             from slotvps_tpu.tracking_jax import track_step
 
             prev_feats, pool, params_c = carry
-            cur_feats = extract_features(params_c, cfg, img)
+            cur_feats = extract_features(params_c, cfg, _device_normalize(
+                img, config.data, valid_hw))
             outs = decode_pair(params_c, cfg, prev_feats, cur_feats)
             out_size = image_size or outs.fcn_output.shape[1:3]
             post = postprocess_frame(
@@ -322,7 +384,8 @@ class VideoScanner:
         def run(params_j, frames, pool_capacity):
             from slotvps_tpu.tracking_jax import init_pool
 
-            first = extract_features(params_j, cfg, frames[0])
+            first = extract_features(params_j, cfg, _device_normalize(
+                frames[0], config.data, valid_hw))
             pool = init_pool(pool_capacity,
                              params_j["init_mask_query"].shape[-1])
             (_, pool, _), outs = jax.lax.scan(

@@ -55,17 +55,20 @@ def init_semantic_head(key, cfg: SemanticHeadConfig) -> Dict:
     }
 
 
-def _dcn_block(p, x, gn_groups, impl="jax"):
+def _dcn_block(p, x, gn_groups, impl="jax", halo=0):
     offset = L.conv2d(p["offset"], x, padding=1)
     if impl == "pallas":
         from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
-        out = deform_conv2d_pallas(x, offset, p["conv"]["w"])
+        out = deform_conv2d_pallas(x, offset, p["conv"]["w"],
+                                   halo=halo or 4)
     elif impl == "pallas_f32":
         from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
         out = deform_conv2d_pallas(x, offset, p["conv"]["w"],
+                                   halo=halo or 4,
                                    compute_dtype=jnp.float32)
     else:
-        out = deform_conv2d(x, offset, p["conv"]["w"], padding=1)
+        out = deform_conv2d(x, offset, p["conv"]["w"], padding=1,
+                            max_displacement=halo or 8)
     out = L.group_norm(p["gn"], out, num_groups=gn_groups)
     return L.relu(out)
 
@@ -84,7 +87,8 @@ def apply_semantic_head(
     fpn_px = []
     for x in inputs:
         for block in params["tower"]:
-            x = _dcn_block(block, x, cfg.gn_groups, impl=cfg.dcn_impl)
+            x = _dcn_block(block, x, cfg.gn_groups, impl=cfg.dcn_impl,
+                           halo=cfg.dcn_halo)
         fpn_px.append(x)
 
     feat_before = fpn_px[:cfg.num_levels][::-1]

@@ -135,6 +135,24 @@ def deform_conv2d(
     return out.astype(x.dtype)
 
 
+def offset_clamp_stats(offset: jnp.ndarray, halo: int):
+    """Clamp diagnostic for a DCN offset field.
+
+    The reference CUDA kernel samples at unbounded offsets
+    (deform_conv_cuda_kernel.cu ``deformable_im2col``); our TPU paths clamp
+    samples into a +-halo window of each tap's rigid position.  This
+    measures how much a given offset tensor would actually clamp:
+
+    offset: [..., 2*kh*kw] ([dy, dx] per tap).  Returns
+    ``(max_abs, clamp_rate)`` — the largest |offset| component and the
+    fraction of taps with either component beyond ``halo``."""
+    a = jnp.abs(offset.astype(jnp.float32))
+    max_abs = a.max()
+    per_tap = a.reshape(*offset.shape[:-1], -1, 2).max(axis=-1)
+    clamp_rate = (per_tap > halo).mean()
+    return max_abs, clamp_rate
+
+
 def deform_conv2d_reference(x, offset, weight, mask=None, stride=1,
                             padding=1, dilation=1):
     """Slow numpy-style reference (no halo clamp) for kernel parity tests."""

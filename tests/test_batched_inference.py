@@ -121,6 +121,32 @@ def test_cli_batch_videos_matches_streaming(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=f"frame {i}")
 
 
+def test_uint8_upload_matches_float(rng):
+    """``keep_uint8`` + device normalize must equal the host-normalized
+    float path bit-for-bit: the resize happens on the uint8 image in both
+    paths and the deferred ``(x - mean) / std`` is the same IEEE f32
+    computation (inference._device_normalize)."""
+    import jax.numpy as jnp
+
+    from slotvps_tpu.config import DataConfig
+    from slotvps_tpu.data.pipeline import preprocess
+    from slotvps_tpu.inference import _device_normalize
+
+    img = rng.integers(0, 255, (30, 61, 3)).astype(np.uint8)
+    dcfg = DataConfig(img_scale=(64, 32))
+    f32, meta_f = preprocess(img, dcfg.img_scale)
+    u8, meta_u = preprocess(img, dcfg.img_scale, keep_uint8=True)
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    assert meta_f == meta_u
+    dev = np.asarray(_device_normalize(jnp.asarray(u8), dcfg,
+                                       valid_hw=meta_u["img_shape"]))
+    np.testing.assert_array_equal(dev, f32)
+    # float inputs pass through untouched (trace-time dtype branch)
+    assert _device_normalize(jnp.asarray(f32), dcfg) is not None
+    np.testing.assert_array_equal(
+        np.asarray(_device_normalize(jnp.asarray(f32), dcfg)), f32)
+
+
 @pytest.mark.slow
 def test_batched_single_device_matches_streaming(rng):
     """Local batch > 1 on one device (the real-chip case: lb = batch)."""

@@ -56,6 +56,67 @@ def test_zero_offsets_is_plain_conv(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bias,inside", [(3.5, True), (4.5, False),
+                                         (5.0, False)])
+def test_halo_boundary_clamp_semantics(rng, bias, inside):
+    """Offsets straddling the +-4 halo (VERDICT r2 ask #5c): inside the
+    halo the kernel is exact vs the unbounded reference convention (the
+    numpy reference mirrors the CUDA ``deformable_im2col`` and is itself
+    golden-matched against torch in test_golden_model.py); beyond it the
+    sample position clamps to rigid+-halo — equivalent to clamping the
+    offset — and that is the ONLY divergence."""
+    from slotvps_tpu.ops.deform_conv import deform_conv2d_reference
+
+    b, h, w, c, co = 1, 32, 128, 8, 4
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    # bias-driven offsets: constant `bias` plus small per-pixel noise
+    off = jnp.asarray(bias + 0.1 * rng.standard_normal((b, h, w, 18)),
+                      jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    ours = np.asarray(deform_conv2d_pallas(x, off, wt, halo=4,
+                                           compute_dtype=jnp.float32))
+    # contract pinned here: (1) both TPU paths clamp identically — sample
+    # position clips to rigid+-halo but VALIDITY is evaluated at the true
+    # position, so out-of-image taps contribute 0 exactly like the CUDA
+    # kernel's (-1, size) rule even when the clamped position is in-image
+    xla = np.asarray(deform_conv2d(x, off, wt, padding=1,
+                                   max_displacement=4))
+    np.testing.assert_allclose(ours, xla, rtol=1e-4, atol=1e-4)
+    unclamped = deform_conv2d_reference(x, off, wt)
+    if inside:
+        # (2) inside the halo: exact vs the unbounded reference convention
+        np.testing.assert_allclose(ours, unclamped, rtol=1e-4, atol=1e-4)
+    else:
+        # (3) beyond the halo, away from image borders (where validity
+        # cannot differ), clamping == clipping the offsets to +-halo
+        clamped = deform_conv2d_reference(x, jnp.clip(off, -4, 4), wt)
+        m = 7  # bias + halo + bilinear corner < 7 px
+        np.testing.assert_allclose(ours[:, m:-m, m:-m],
+                                   clamped[:, m:-m, m:-m],
+                                   rtol=1e-4, atol=1e-4)
+        # (4) the divergence from the unbounded reference is real (the
+        # halo contract stays honest), and a wide-halo XLA run recovers
+        # the unbounded semantics
+        assert np.abs(unclamped - ours).max() > 1e-3
+        wide = np.asarray(deform_conv2d(x, off, wt, padding=1,
+                                        max_displacement=8))
+        np.testing.assert_allclose(wide, unclamped, rtol=1e-4, atol=1e-4)
+
+
+def test_offset_clamp_stats(rng):
+    from slotvps_tpu.ops.deform_conv import offset_clamp_stats
+
+    off = np.zeros((1, 4, 4, 18), np.float32)
+    off[0, 0, 0, 0] = 5.0    # tap 0 dy beyond halo 4
+    off[0, 1, 1, 3] = -3.0   # tap 1 dx inside
+    mx, rate = offset_clamp_stats(jnp.asarray(off), halo=4)
+    assert float(mx) == 5.0
+    # one of 4*4*9 taps exceeds the halo
+    np.testing.assert_allclose(float(rate), 1 / (4 * 4 * 9), rtol=1e-6)
+    _, rate8 = offset_clamp_stats(jnp.asarray(off), halo=8)
+    assert float(rate8) == 0.0
+
+
 def test_bf16_mode_close(rng):
     b, h, w, c, co = 1, 8, 128, 128, 128
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)

@@ -252,3 +252,72 @@ def test_dedup_map_high_class_ids():
     kept = jnp.array([True, True, True, True])
     mapped = np.asarray(_dedup_map(labels, is_thing, kept))
     assert mapped.tolist() == [0, 0, 2, 3]  # second 33 folds into first
+
+
+def _zero_pixel_case():
+    """A thing slot survives the greedy claim but wins ZERO argmax pixels
+    (its binarization passes at softmax 0.4 < 0.5 while a stuff slot holds
+    the larger raw logit), plus a real thing.  Pins the kept-rank vs
+    presence-order renumbering interaction (VERDICT r2 ask #6a; reference
+    :414-435 renumbers instances present in the map in descending unique-id
+    order starting from the FULL kept-instance count, ours ranks kept
+    things — they agree exactly because the area filter removes pixel-less
+    things before renumbering)."""
+    logits = np.full((K, C), -10.0, np.float32)
+    masks = np.full((K, 16, 24), -20.0, np.float32)
+    # slot 0: stuff class 2, confident; raw 3.3 inside R, 0.5 elsewhere
+    logits[0, 2] = 10.0
+    masks[0] = 0.5
+    masks[0, 2:8, 2:10] = 3.3
+    # slot 1: thing class 15; raw 3.0 inside R only -> claims R (softmax
+    # 1/(1+e^0.3) ~ 0.425 >= 0.4) but loses every argmax to slot 0
+    logits[1, 15] = 10.0
+    masks[1, 2:8, 2:10] = 3.0
+    # slot 2: thing class 16; dominant in a disjoint region R2
+    logits[2, 16] = 10.0
+    masks[2, 9:15, 12:22] = 6.0
+    # rest: no-object
+    logits[3:, -1] = 10.0
+    return logits, masks
+
+
+@pytest.mark.parametrize("impl", ["jax", "fused"])
+def test_zero_pixel_kept_thing_renumbering(impl):
+    logits, masks = _zero_pixel_case()
+    cfg = dataclasses.replace(PostprocessConfig(), impl=impl)
+    out_size = (64, 96)
+    rng = np.random.default_rng(0)
+    fcn = rng.standard_normal((*out_size, 19)).astype(np.float32)
+    emb = rng.standard_normal((K, D)).astype(np.float32)
+
+    # pin the construction at full res: slot 1's softmax passes the 0.4
+    # binarization where slot 0 still wins the raw argmax
+    up = F.interpolate(torch.from_numpy(masks)[None], size=out_size,
+                       mode="bilinear", align_corners=False)[0].numpy()
+    sm = _softmax(up[:3], 0)
+    center = (sm[1, 16, 24] >= 0.4) and (up[0, 16, 24] > up[1, 16, 24])
+    assert center, "construction no longer hits the edge"
+
+    ctx = (_nullcontext() if impl == "jax"
+           else __import__("jax.experimental.pallas.tpu",
+                           fromlist=["x"]).force_tpu_interpret_mode())
+    with ctx:
+        res = postprocess_frame(
+            jax.numpy.asarray(logits), jax.numpy.asarray(masks),
+            jax.numpy.asarray(emb), jax.numpy.asarray(fcn), out_size, cfg)
+
+    g_classes, g_scores, g_orig, g_mid, g_pan = golden_postprocess(
+        logits, masks, out_size, PostprocessConfig())
+
+    kept = np.asarray(res.kept)
+    labels = np.asarray(res.labels)[kept]
+    # the zero-pixel thing (class 15) was claimed-kept but area-filtered:
+    # final kept = stuff 2 + thing 16 only
+    assert sorted(labels.tolist()) == [2, 16]
+    assert labels.tolist() == g_classes.tolist()
+    pan = np.asarray(res.panoptic)
+    np.testing.assert_array_equal(pan, g_pan)
+    # the surviving thing is renumbered to rank 0 -> panoptic id 11, with
+    # no gap for the removed slot
+    assert set(np.unique(pan)) <= {2, 11}
+    assert 11 in np.unique(pan)

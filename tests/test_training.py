@@ -372,3 +372,56 @@ def test_make_batch_through_repeat_dataset(tmp_path):
     batch = make_batch(rep, idxs, args, cfg, rng, aug)
     assert batch.img.shape == (3, 32, 64, 3)
     assert batch.gt_valid.any()
+
+
+def test_prefetch_ordered_order_and_errors():
+    """Batches stream strictly in order under multi-threaded assembly,
+    and worker exceptions surface at the consumer."""
+    import time as _t
+
+    from slotvps_tpu.data.loader import prefetch_ordered
+
+    def f(i):
+        _t.sleep(0.005 * ((i * 7) % 3))  # jittered completion order
+        return i * i
+
+    out = list(prefetch_ordered(f, range(20), prefetch=2, num_threads=3))
+    assert out == [i * i for i in range(20)]
+
+    def g(i):
+        if i == 5:
+            raise ValueError("boom")
+        return i
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch_ordered(g, range(10), num_threads=2))
+
+
+def test_parallel_batch_assembly_deterministic(tmp_path):
+    """cli/train.py's per-step derived rngs make worker-threaded batch
+    assembly bit-identical to serial assembly (VERDICT r2 ask #7)."""
+    from argparse import Namespace
+
+    from slotvps_tpu.cli.train import make_batch
+    from slotvps_tpu.config import named_config
+    from slotvps_tpu.data.loader import prefetch_ordered
+    from slotvps_tpu.data.transforms import TrainAugConfig
+
+    ds = _disk_dataset(tmp_path)
+    args = Namespace(offsets="0_shift_3", seg_prefix=None,
+                     crop=(32, 64), gt_capacity=8)
+    cfg = named_config("r50_fpn_slotvps")
+    aug = TrainAugConfig(img_scale=(128, 64), ratio_range=(1.0, 1.0),
+                         crop_size=(32, 64), shift_padding=5)
+    order = np.random.default_rng((0, 0)).permutation(len(ds))
+
+    def build(s):
+        srng = np.random.default_rng((0, 0, int(s)))
+        idxs = order[s * 2:(s + 1) * 2]
+        return make_batch(ds, idxs, args, cfg, srng, aug)
+
+    serial = [build(s) for s in range(2)]
+    threaded = list(prefetch_ordered(build, range(2), num_threads=2))
+    for a, b in zip(serial, threaded):
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa, fb)
