@@ -14,10 +14,16 @@ streaming latency instead.
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": x}
 
-``vs_baseline`` compares against the reference PyTorch path's estimated
-per-frame rate.  The reference publishes no throughput (BASELINE.md); we
-use 1.0 frame/sec as the baseline estimate for the full V100 per-frame path
-(GPU forward + CPU/PIL/numpy post-processing, SURVEY.md §3.3 boundaries).
+``vs_baseline`` compares against the reference PyTorch path's per-frame
+rate.  The reference publishes no throughput (BASELINE.md), so the
+denominator is MEASURED: ``_measure_baseline.py`` times the executed
+reference model (via tests/ref_shim) end-to-end through ``simple_test``
+on this host's CPU and projects a generous V100 rate (linear pixel
+scaling + the full CPU->V100 GEMM-peak ratio applied to the whole path,
+including its host-side numpy/PIL postproc — every assumption
+overestimates the reference, so vs_baseline is a lower bound).  The
+derivation + raw numbers live in BASELINE_MEASURED.json (committed) and
+BASELINE.md.  Fallback when the file is absent: 1.0 frame/s.
 The north-star target is vs_baseline >= 10 (BASELINE.json).
 """
 
@@ -29,7 +35,13 @@ import numpy as np
 
 import os
 
-BASELINE_FPS = 1.0  # estimated reference per-frame rate (see docstring)
+_bm = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "BASELINE_MEASURED.json")
+if os.path.exists(_bm):
+    with open(_bm) as _fh:
+        BASELINE_FPS = json.load(_fh)["baseline_fps_v100_projected"]
+else:  # pre-measurement fallback (see docstring)
+    BASELINE_FPS = 1.0
 H, W = 1024, 2048
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 2

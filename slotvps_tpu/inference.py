@@ -262,10 +262,14 @@ class BatchedVideoPipeline:
                 cfg.postprocess)) for i in range(lb)]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *posts)
 
+        self._img_sharding = None
         if ndev > 1:
-            from jax.sharding import Mesh, PartitionSpec as P
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
 
             mesh = Mesh(np.array(devices[:ndev]), ("video",))
+            # upload each device's video slice directly to its shard
+            self._img_sharding = NamedSharding(mesh, P("video"))
             # check_vma=False: postproc's scan/while_loop carries start
             # from unvarying constants, which trips the varying-manual-axes
             # checker even though the computation is purely per-shard
@@ -312,14 +316,23 @@ class BatchedVideoPipeline:
                     lambda cur, prev: self._match(self.params, cur, prev),
                     self.stuff_num))
 
+        def put(t):
+            # async host->device upload (device_put returns immediately):
+            # issued right after step t-1's dispatch so the copy rides
+            # under the device compute
+            return jax.device_put(
+                np.concatenate([v[t] for v in videos], axis=0),
+                self._img_sharding)
+
         ref_feats = None
         pending = None
+        imgs = put(0)
         for t in range(t_len):
-            imgs = jnp.asarray(
-                np.concatenate([v[t] for v in videos], axis=0))
             cur_feats = self._extract_b(self.params, imgs)
             posts = self._decode_post_b(
                 self.params, cur_feats if t == 0 else ref_feats, cur_feats)
+            if t + 1 < t_len:
+                imgs = put(t + 1)
             ref_feats = cur_feats
             if pending is not None:
                 drain(pending)
