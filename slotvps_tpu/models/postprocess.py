@@ -176,7 +176,7 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
     Slot-major v3 kernels (ops/pallas/postproc_v3.py): slots on sublanes,
     low-res width on lanes, full-res maps phase-blocked [4, 4, h, w]."""
     from slotvps_tpu.ops.pallas.postproc_v3 import (
-        argmax_v3, claim_v3, from_blocked, theta_v3)
+        argmax_v3, claim_v3, from_blocked, hist_v3, theta_v3)
 
     if not cfg.apply_mask_removal_only_ins:
         raise NotImplementedError(
@@ -187,34 +187,56 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
         cfg.fraction_threshold)
     kept = jnp.where(is_thing, keep_things, valid)
     small = _small_fn(cfg)
+    k = classes.shape[0]
+    kp = -(-k // 8) * 8  # argmax_v3's padded slot count; kp is the
+    # "runner-up unknown" sentinel (kept_ext[kp] is always False)
 
-    def one_pass(kept_, dedup):
-        m_id_b, areas = argmax_v3(masks_khw, owner_b, kept_, is_thing)
-        if dedup:
-            dmap = _dedup_map(classes, is_thing, kept_)
-            m_id_b = dmap[m_id_b]
-            k = areas.shape[0]
-            fold = (dmap[None, :] == jnp.arange(k)[:, None]).astype(
-                jnp.int32)
-            areas = fold @ areas
-        areas = jnp.where(kept_, areas, 0)
-        return m_id_b, areas
-
-    m_id_b, areas = one_pass(kept, True)
+    # First pass emits per-pixel top-2 so the small-area filter loop can
+    # PATCH pixels of removed slots instead of recomputing the full-res
+    # argmax (reference :762-790 recomputes; removing slots only changes
+    # pixels whose winner was removed, and their new winner is the stored
+    # runner-up whenever that runner-up is still kept — else fall back to
+    # the exact full pass).
+    m1_b, m2_b, areas = argmax_v3(masks_khw, owner_b, kept, is_thing,
+                                  top2=True)
+    dmap = _dedup_map(classes, is_thing, kept)
+    m_cur_b = dmap[m1_b]
+    fold = (dmap[None, :] == jnp.arange(k)[:, None]).astype(jnp.int32)
+    areas = jnp.where(kept, fold @ areas, 0)
 
     def cond(state):
-        kept_, _, areas_ = state
+        kept_, _, _, _, areas_ = state
         return jnp.any(kept_ & small(areas_, classes)) & jnp.any(kept_)
 
     def body(state):
-        kept_, _, areas_ = state
-        kept_ = kept_ & ~small(areas_, classes)
-        m_id_, areas_ = one_pass(kept_, False)
-        return kept_, m_id_, areas_
+        kept_, _, m1, m2, areas_ = state
+        kept_n = kept_ & ~small(areas_, classes)
+        kept_ext = jnp.concatenate(
+            [kept_n, jnp.zeros((kp + 1 - k,), bool)])
+        need2 = ~kept_ext[m1]
+        w_new = jnp.where(need2, m2, m1)
+        need_full = jnp.any(need2 & ~kept_ext[w_new])
 
-    kept, m_id_b, areas = jax.lax.while_loop(
-        cond, body, (kept, m_id_b, areas))
-    return _finish(kept, from_blocked(m_id_b), classes, scores, embeds,
+        def full(_):
+            m1n, m2n, areasn = argmax_v3(masks_khw, owner_b, kept_n,
+                                         is_thing, top2=True)
+            return m1n, m1n, m2n, jnp.where(kept_n, areasn, 0)
+
+        def patch(_):
+            # the patched pixel's runner-up is now unknown (3rd best):
+            # sentinel kp forces a full pass if its new winner is ever
+            # removed too
+            m2n = jnp.where(need2, jnp.int32(kp), m2)
+            areasn = jnp.where(kept_n, hist_v3(w_new, k), 0)
+            return w_new, w_new, m2n, areasn
+
+        m_cur_n, m1n, m2n, areasn = jax.lax.cond(
+            need_full, full, patch, None)
+        return kept_n, m_cur_n, m1n, m2n, areasn
+
+    kept, m_cur_b, _, _, areas = jax.lax.while_loop(
+        cond, body, (kept, m_cur_b, m1_b, m2_b, areas))
+    return _finish(kept, from_blocked(m_cur_b), classes, scores, embeds,
                    is_thing, fcn_output, cfg)
 
 

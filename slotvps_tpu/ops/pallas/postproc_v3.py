@@ -275,8 +275,8 @@ def claim_v3(m_klow, theta_b, labels, is_thing, valid, fraction_threshold):
     return kept != 0, owner
 
 
-def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, areas_ref,
-                   rows, areas, sem, *, hb, w, kp):
+def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, mid2_ref, areas_ref,
+                   rows, areas, sem, *, hb, w, kp, top2):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     # slice length hb+8 (not hb+2): sublane slices must be 8-aligned
@@ -306,6 +306,15 @@ def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, areas_ref,
                 m_id = jnp.min(jnp.where(vals >= mx, kiota, 2 ** 30),
                                axis=0, keepdims=True)       # [1, w]
                 mid_ref[pr, pc, li, :] = m_id[0]
+                if top2:
+                    # runner-up: best slot EXCLUDING the winner (by index)
+                    # — lets the small-area filter loop patch pixels of
+                    # removed slots without a full recompute
+                    vals2 = jnp.where(kiota == m_id, _NEG, vals)
+                    mx2 = jnp.max(vals2, axis=0, keepdims=True)
+                    m2 = jnp.min(jnp.where(vals2 >= mx2, kiota, 2 ** 30),
+                                 axis=0, keepdims=True)
+                    mid2_ref[pr, pc, li, :] = m2[0]
                 acc = acc + (m_id == kiota).astype(jnp.int32)
     areas[:] = acc
 
@@ -314,11 +323,14 @@ def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, areas_ref,
         areas_ref[:] = areas[:]
 
 
-def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8):
+def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
     """Masked argmax + per-slot areas (reference get_ids_area).
 
     m_klow: [K, h, w] f32; owner_b: [4, 4, h, w] int8 (phase-blocked).
-    Returns (m_id phase-blocked [4, 4, h, w] int32, areas [K] int32)."""
+    Returns (m_id phase-blocked [4, 4, h, w] int32, areas [K] int32);
+    with ``top2=True`` returns (m_id, m2_id, areas) where m2_id is the
+    per-pixel runner-up slot (first-index tie-break, winner excluded by
+    index)."""
     k, h, w = m_klow.shape
     kp = _round8(k)
     hb = math.gcd(hb, h)
@@ -327,8 +339,8 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8):
         jnp.pad(kept.astype(jnp.int32), (0, kp - k)),
         jnp.pad(is_thing.astype(jnp.int32), (0, kp - k)),
     ], axis=1)                                        # [kp, 2]
-    m_id, areas = pl.pallas_call(
-        functools.partial(_argmax_kernel, hb=hb, w=w, kp=kp),
+    m_id, m2_id, areas = pl.pallas_call(
+        functools.partial(_argmax_kernel, hb=hb, w=w, kp=kp, top2=top2),
         grid=(h // hb,),
         in_specs=[
             pl.BlockSpec((kp, 2), lambda t: (0, 0),
@@ -340,11 +352,17 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8):
         out_specs=(
             pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
                          memory_space=pltpu.VMEM),
+            (pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                          memory_space=pltpu.VMEM) if top2 else
+             pl.BlockSpec((4, 4, 1, 1), lambda t: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((kp, w), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((4, 4, h, w) if top2 else (4, 4, 1, 1),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((kp, w), jnp.int32),
         ),
         scratch_shapes=[
@@ -355,4 +373,58 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(meta, mp, owner_b.astype(jnp.int32))
-    return m_id, areas.sum(axis=1)[:k]
+    areas = areas.sum(axis=1)[:k]
+    if top2:
+        return m_id, m2_id, areas
+    return m_id, areas
+
+
+def _hist_kernel(mid_ref, areas_ref, areas, *, hb, w, kp):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        areas[:] = jnp.zeros((kp, w), jnp.int32)
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+    acc = areas[:]
+    for li in range(hb):
+        for pr in range(4):
+            for pc in range(4):
+                row = mid_ref[pr, pc, li, :][None]        # [1, w]
+                acc = acc + (row == kiota).astype(jnp.int32)
+    areas[:] = acc
+
+    @pl.when(t == nt - 1)
+    def _():
+        areas_ref[:] = areas[:]
+
+
+def hist_v3(mid_b, k, hb=8):
+    """Per-slot pixel counts of a phase-blocked id map.
+
+    mid_b: [4, 4, h, w] int32 with values in [0, kp); returns areas [k]
+    int32.  Reads the 2 MP id map once through VMEM — the cheap companion
+    to :func:`argmax_v3` for the small-area filter's patched iterations,
+    where the argmax itself is already known."""
+    _, _, h, w = mid_b.shape
+    kp = _round8(k)
+    hb = math.gcd(hb, h)
+    areas = pl.pallas_call(
+        functools.partial(_hist_kernel, hb=hb, w=w, kp=kp),
+        grid=(h // hb,),
+        in_specs=[
+            pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kp, w), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((kp, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(mid_b)
+    return areas.sum(axis=1)[:k]

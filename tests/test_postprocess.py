@@ -321,3 +321,140 @@ def test_zero_pixel_kept_thing_renumbering(impl):
     # no gap for the removed slot
     assert set(np.unique(pan)) <= {2, 11}
     assert 11 in np.unique(pan)
+
+
+# ---- small-area filter patch loop (top-2 runner-up optimization) ----
+
+def _fused_vs_jax(logits, masks, seed=0):
+    """Run both impls on the same inputs and assert exact equality of
+    kept/panoptic/thing_rank (the jax impl is the numpy-golden-proven
+    reference)."""
+    import jax as _jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(seed)
+    out_size = (64, 96)
+    fcn = rng.standard_normal((*out_size, 19)).astype(np.float32)
+    emb = rng.standard_normal((masks.shape[0], D)).astype(np.float32)
+    args = (jax.numpy.asarray(logits), jax.numpy.asarray(masks),
+            jax.numpy.asarray(emb), jax.numpy.asarray(fcn))
+    cfg = PostprocessConfig()
+    ref = postprocess_frame(*args, out_size, cfg)
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() == "cpu" else _nullcontext())
+    with ctx:
+        fused = postprocess_frame(
+            *args, out_size, dataclasses.replace(cfg, impl="fused"))
+    np.testing.assert_array_equal(np.asarray(fused.kept),
+                                  np.asarray(ref.kept))
+    np.testing.assert_array_equal(np.asarray(fused.panoptic),
+                                  np.asarray(ref.panoptic))
+    np.testing.assert_array_equal(np.asarray(fused.thing_rank),
+                                  np.asarray(ref.thing_rank))
+    return fused
+
+
+def test_patch_loop_runner_up_also_removed():
+    """Two stacked small stuff regions: the winner AND the stored
+    runner-up are removed in the same filter iteration, forcing the
+    sentinel full-recompute fallback (models/postprocess.py patch loop)."""
+    logits = np.full((K, C), -10.0, np.float32)
+    masks = np.full((K, 16, 24), -20.0, np.float32)
+    # slot 0: stuff class 1 everywhere (the survivor)
+    logits[0, 1] = 10.0
+    masks[0] = 1.0
+    # slots 1, 2: stuff classes 3, 4 peaking at the same low-res pixel
+    # over a 0.0 background (a -20 background would bleed into every
+    # interpolated phase and the peak would never win).  The x4
+    # fixed-phase bilinear center weights are {0.625, 0.875} per axis, so
+    # slot 1 (peak 1.4) beats the 1.0 background only at the 4 center
+    # phases (1.4 * 0.875^2 = 1.072) — area exactly 4 — and slot 2 (peak
+    # 1.35) wins nothing but is the runner-up there (1.35 * 0.766 =
+    # 1.034 > 1.0).  Iteration 1 removes BOTH (areas 4 and 0), so the
+    # patched winner is itself removed -> sentinel full-recompute
+    # fallback.
+    logits[1, 3] = 10.0
+    masks[1] = 0.0
+    masks[1, 8, 12] = 1.4
+    logits[2, 4] = 10.0
+    masks[2] = 0.0
+    masks[2, 8, 12] = 1.35
+    logits[3:, -1] = 10.0
+    res = _fused_vs_jax(logits, masks)
+    kept = np.asarray(res.kept)
+    labels = np.asarray(res.labels)
+    # pin the scenario: only the background stuff survives
+    assert sorted(labels[kept].tolist()) == [1]
+    assert (np.asarray(res.panoptic) == 1).all()
+
+
+def test_patch_loop_dedup_fold_then_patch():
+    """Duplicate stuff slots force a first filter iteration (folded area 0)
+    whose pixels patch to their runner-up; a small thing adds a second
+    removal wave."""
+    logits = np.full((K, C), -10.0, np.float32)
+    masks = np.full((K, 16, 24), -20.0, np.float32)
+    logits[0, 1] = 10.0
+    masks[0] = 1.0
+    # duplicate stuff class 5: slot 1 strong in R, slot 2 weaker overlap
+    logits[1, 5] = 10.0
+    masks[1, 2:8, 2:10] = 5.0
+    logits[2, 5] = 9.5
+    masks[2, 4:10, 4:12] = 4.0
+    # small thing: single-pixel peak, claims a tiny region
+    logits[3, 15] = 10.0
+    masks[3, 12, 18] = 30.0
+    logits[4:, -1] = 10.0
+    _fused_vs_jax(logits, masks)
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7, 8, 9, 10, 11])
+def test_fused_impl_matches_jax_more_seeds(seed):
+    """Wider random sweep over the patch/fallback paths (each random case
+    produces many tiny segments, exercising multiple filter iterations)."""
+    rng = np.random.default_rng(seed)
+    logits, masks, _ = _case(rng)
+    _fused_vs_jax(logits, masks, seed=seed)
+
+
+def test_argmax_v3_top2_and_hist():
+    """Unit parity: argmax_v3(top2=True) runner-up + hist_v3 vs numpy."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from slotvps_tpu.ops.pallas.postproc_v3 import (
+        argmax_v3, from_blocked, hist_v3, to_blocked)
+
+    rng = np.random.default_rng(0)
+    k, h, w = 13, 8, 32
+    masks = rng.standard_normal((k, h, w)).astype(np.float32)
+    kept = rng.random(k) > 0.3
+    kept[0] = True
+    is_thing = rng.random(k) > 0.5
+    owner = rng.integers(-1, k, (4 * h, 4 * w)).astype(np.int8)
+
+    # numpy reference at full res
+    up = F.interpolate(torch.from_numpy(masks)[None], size=(4 * h, 4 * w),
+                       mode="bilinear", align_corners=False)[0].numpy()
+    vals = up.copy()
+    vals[is_thing] = np.where(owner[None] == np.arange(k)[:, None, None],
+                              up, 0.0)[is_thing]
+    vals[~kept] = -1e30
+    m1_ref = vals.argmax(0)
+    vals2 = vals.copy()
+    vals2[m1_ref[None] == np.arange(k)[:, None, None]] = -1e30
+    m2_ref = vals2.argmax(0)
+
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() == "cpu" else _nullcontext())
+    with ctx:
+        m1_b, m2_b, areas = argmax_v3(
+            jnp.asarray(masks), jnp.asarray(to_blocked(owner)),
+            jnp.asarray(kept), jnp.asarray(is_thing), top2=True)
+        hist = hist_v3(m1_b, k)
+    np.testing.assert_array_equal(np.asarray(from_blocked(m1_b)), m1_ref)
+    np.testing.assert_array_equal(np.asarray(from_blocked(m2_b)), m2_ref)
+    ref_areas = np.bincount(m1_ref.ravel(), minlength=k)[:k]
+    np.testing.assert_array_equal(np.asarray(areas), ref_areas)
+    np.testing.assert_array_equal(np.asarray(hist), ref_areas)
