@@ -40,6 +40,8 @@ def main():
         from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
         import os as _os
         halo = int(_os.environ.get("DCN_HALO", "4"))
+        sub = int(_os.environ.get("DCN_SUB", "32"))
+        rblk = int(_os.environ.get("DCN_RBLK", "4"))
         for (h, w, ci, co) in [(256, 512, 256, 256), (256, 512, 256, 128),
                                (256, 512, 128, 128), (128, 256, 256, 256)]:
             x = jnp.asarray(rng.standard_normal((B, h, w, ci)), jnp.float32)
@@ -47,9 +49,11 @@ def main():
                 rng.standard_normal((B, h, w, 18)) * 2, jnp.float32)
             wgt = jnp.asarray(
                 rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.float32)
-            f = jax.jit(lambda x, o, w: deform_conv2d_pallas(x, o, w, halo=halo))
+            f = jax.jit(lambda x, o, w: deform_conv2d_pallas(
+                x, o, w, halo=halo, sub=sub, rblk=rblk))
             dt = timeit(f, x, off, wgt)
-            print(f"dcn pallas halo{halo} B{B} {h}x{w} {ci}->{co}: "
+            print(f"dcn pallas halo{halo} sub{sub} rblk{rblk} B{B} "
+                  f"{h}x{w} {ci}->{co}: "
                   f"{dt*1e3:.2f} ms ({dt/B*1e3:.2f} ms/frame)", flush=True)
 
     if "postproc" in sections or "fused" in sections:

@@ -75,7 +75,7 @@ def main(config_name="r50_fpn_slotvps"):
     cfg = dataclasses.replace(
         base, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(
-            base.semantic_head, dcn_impl="pallas"),
+            base.semantic_head, dcn_impl="pallas", fused_sseg=True),
         postprocess=dataclasses.replace(
             base.postprocess, impl="fused"))
     params = init_model(jax.random.PRNGKey(0), cfg)

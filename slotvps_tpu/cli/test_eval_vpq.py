@@ -81,7 +81,8 @@ def tune_config(cfg):
     m = dataclasses.replace(
         m, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(m.semantic_head,
-                                          dcn_impl="pallas"),
+                                          dcn_impl="pallas",
+                                          fused_sseg=True),
         postprocess=dataclasses.replace(m.postprocess, impl="fused"))
     return dataclasses.replace(cfg, model=m)
 

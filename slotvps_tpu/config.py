@@ -93,6 +93,13 @@ class SemanticHeadConfig:
     gn_groups: int = 32
     # 'jax' = pure-XLA gather implementation, 'pallas' = TPU kernel.
     dcn_impl: str = "jax"
+    # True: skip the x4 upsample and carry QUARTER-res fcn logits; the
+    # fused postprocess upsamples+argmaxes them in one Pallas kernel
+    # (sseg_v3) so the full-res [H, W, 19] tensor (whose 19-channel minor
+    # axis pads toward 128 lanes on TPU) never exists.  Exactness is
+    # preserved on every route: non-fused/resized paths first upsample x4
+    # then resize, matching the reference staging.
+    fused_sseg: bool = False
     # DCN sampling-halo radius in pixels: offsets beyond +-halo of a tap's
     # rigid position are clamped (the reference CUDA kernel is unbounded —
     # deform_conv_cuda_kernel.cu deformable_im2col).  0 = per-impl default

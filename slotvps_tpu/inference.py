@@ -107,7 +107,8 @@ class InferencePipeline:
         @jax.jit
         def _decode_post(params, ref_feats, cur_feats):
             outs = decode_pair(params, cfg, ref_feats, cur_feats)
-            out_size = self.image_size or outs.fcn_output.shape[1:3]
+            out_size = self.image_size or (4 * outs.pred_masks.shape[2],
+                                           4 * outs.pred_masks.shape[3])
             post = postprocess_frame(
                 outs.pred_logits[0], outs.pred_masks[0], outs.embeddings[0],
                 outs.fcn_output[0], tuple(out_size), cfg.postprocess)
@@ -253,7 +254,8 @@ class BatchedVideoPipeline:
 
         def _decode_post_local(params, ref_feats, cur_feats):
             outs = decode_pair(params, cfg, ref_feats, cur_feats)
-            out_size = image_size or outs.fcn_output.shape[1:3]
+            out_size = image_size or (4 * outs.pred_masks.shape[2],
+                                      4 * outs.pred_masks.shape[3])
             # per-video postproc loop (measured faster than vmap: lockstep
             # while_loops + a serialized (B, K) claim grid — see bench.py)
             posts = [_compact_post(postprocess_frame(
@@ -381,7 +383,8 @@ class VideoScanner:
             cur_feats = extract_features(params_c, cfg, _device_normalize(
                 img, config.data, valid_hw))
             outs = decode_pair(params_c, cfg, prev_feats, cur_feats)
-            out_size = image_size or outs.fcn_output.shape[1:3]
+            out_size = image_size or (4 * outs.pred_masks.shape[2],
+                                      4 * outs.pred_masks.shape[3])
             post = postprocess_frame(
                 outs.pred_logits[0], outs.pred_masks[0],
                 outs.embeddings[0], outs.fcn_output[0], tuple(out_size),

@@ -47,7 +47,9 @@ class FrameFeatures(NamedTuple):
     """Per-frame backbone-side features carried across video steps."""
 
     feat_trans: Tuple[jnp.ndarray, ...]  # 4 levels, coarsest first, 128ch
-    fcn_output: jnp.ndarray              # [B, H, W, 19] full-res logits
+    # [B, H, W, 19] full-res logits — or [B, H/4, W/4, 19] quarter-res
+    # when semantic_head.fused_sseg=True (postprocess fuses the upsample)
+    fcn_output: jnp.ndarray
 
 
 class FrameOutputs(NamedTuple):

@@ -139,7 +139,7 @@ def _argmax_pass(final_vals_hwk, kept, dedup, labels, is_thing):
     return m_id, areas
 
 
-def _finish(kept, m_id, classes, scores, embeds, is_thing, fcn_output, cfg):
+def _finish(kept, m_id, classes, scores, embeds, is_thing, sseg, cfg):
     """Panoptic id remap + result assembly (shared by all impls)."""
     kept_thing = kept & is_thing
     thing_rank = jnp.where(kept_thing,
@@ -148,7 +148,6 @@ def _finish(kept, m_id, classes, scores, embeds, is_thing, fcn_output, cfg):
                            jnp.where(kept, classes, 255))
     any_kept = jnp.any(kept)
     panoptic = jnp.where(any_kept, slot_value[m_id], 255).astype(jnp.int32)
-    sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
     return PostprocResult(
         kept=kept, is_thing=is_thing, labels=classes, scores=scores,
         embeddings=embeds, thing_rank=thing_rank.astype(jnp.int32),
@@ -174,13 +173,22 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
     """Fully fused TPU path: the [H, W, K] upsampled stack never exists.
 
     Slot-major v3 kernels (ops/pallas/postproc_v3.py): slots on sublanes,
-    low-res width on lanes, full-res maps phase-blocked [4, 4, h, w]."""
+    low-res width on lanes, full-res maps phase-blocked [4, 4, h, w].
+
+    ``fcn_output`` arrives either full-res [H, W, 19] (argmaxed directly)
+    or quarter-res [h, w, 19] (semantic_head ``fused_sseg=True``), in
+    which case the x4 upsample + argmax run fused in one kernel and the
+    full-res 19-channel logits never exist."""
     from slotvps_tpu.ops.pallas.postproc_v3 import (
-        argmax_v3, claim_v3, from_blocked, hist_v3, theta_v3)
+        argmax_v3, claim_v3, from_blocked, hist_v3, sseg_v3, theta_v3)
 
     if not cfg.apply_mask_removal_only_ins:
         raise NotImplementedError(
             "only apply_mask_removal_only_ins=True is supported")
+    if fcn_output.shape[:2] == masks_khw.shape[1:]:
+        sseg = from_blocked(sseg_v3(fcn_output.transpose(2, 0, 1)))
+    else:
+        sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
     theta_b = theta_v3(masks_khw, valid, cfg.pixel_threshold)
     keep_things, owner_b = claim_v3(
         masks_khw, theta_b, classes, is_thing, valid,
@@ -237,14 +245,15 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
     kept, m_cur_b, _, _, areas = jax.lax.while_loop(
         cond, body, (kept, m_cur_b, m1_b, m2_b, areas))
     return _finish(kept, from_blocked(m_cur_b), classes, scores, embeds,
-                   is_thing, fcn_output, cfg)
+                   is_thing, sseg, cfg)
 
 
 def postprocess_frame(
     pred_logits: jnp.ndarray,   # [K, C]
     pred_masks: jnp.ndarray,    # [K, h, w] quarter-res logits
     embeddings: jnp.ndarray,    # [K, D]
-    fcn_output: jnp.ndarray,    # [H, W, 19]
+    fcn_output: jnp.ndarray,    # [H, W, 19] full-res, or [h, w, 19]
+                                # quarter-res (semantic_head fused_sseg)
     out_size: Tuple[int, int],
     cfg: PostprocessConfig,
 ) -> PostprocResult:
@@ -257,7 +266,19 @@ def postprocess_frame(
     the target before the argmax (reference :440-451)."""
     k = pred_logits.shape[0]
     h, w = out_size
-    if fcn_output.shape[:2] != (h, w):
+    fused_ok = (cfg.impl == "fused" and cfg.apply_mask_removal
+                and (h, w) == (4 * pred_masks.shape[1],
+                               4 * pred_masks.shape[2]))
+    # semantic_head fused_sseg=True ships quarter-res fcn logits; the
+    # fused impl upsamples+argmaxes them in one kernel.  Any other route
+    # reproduces the reference's staging exactly: x4 upsample first
+    # (:697-698), then resize to ori_shape (:440-451) — NOT a single
+    # direct interpolation, whose weights would differ.
+    fcn_quarter = fcn_output.shape[:2] == pred_masks.shape[1:]
+    if fcn_quarter and not fused_ok:
+        fcn_output = upsample_x4_bilinear(fcn_output)
+        fcn_quarter = False
+    if not fcn_quarter and fcn_output.shape[:2] != (h, w):
         fcn_output = interpolate_bilinear(fcn_output, (h, w),
                                           align_corners=False)
 
@@ -273,8 +294,7 @@ def postprocess_frame(
     masks = pred_masks[perm]
     is_thing = classes > cfg.num_stuff - 1
 
-    if cfg.impl == "fused" and cfg.apply_mask_removal \
-            and (h, w) == (4 * masks.shape[1], 4 * masks.shape[2]):
+    if fused_ok:
         return _postprocess_fused(masks, scores, classes, valid,
                                   embeds, is_thing, fcn_output, cfg)
     masks_hwk = masks.transpose(1, 2, 0)
@@ -344,5 +364,6 @@ def postprocess_frame(
 
     kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
     # panoptic id remap (reference :414-435): thing -> stuff_num + rank
+    sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
     return _finish(kept, m_id, classes, scores, embeds, is_thing,
-                   fcn_output, cfg)
+                   sseg, cfg)

@@ -99,6 +99,10 @@ def apply_semantic_head(
         ups.append(upsample_int_bilinear(fpn_px[lvl], 2 ** lvl))
     feat = jnp.concatenate(ups, axis=-1)
     fcn_score = L.conv2d(params["conv_pred"], feat, padding=0)
+    if cfg.fused_sseg:
+        # quarter-res logits flow to postprocess, which fuses the x4
+        # upsample into the sseg argmax kernel (models/postprocess.py)
+        return fcn_score, fcn_score, feat_before
     fcn_output = upsample_x4_bilinear(fcn_score)
     return fcn_output, fcn_score, feat_before
 

@@ -379,6 +379,56 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
     return m_id, areas
 
 
+def _sseg_kernel(m_hbm, o_ref, rows, sem, *, hb, w, kp, c):
+    t = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        m_hbm.at[:, pl.ds(t * hb, hb + 8), :], rows, sem)
+    cp.start()
+    cp.wait()
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+    # zero-padded channels [c, kp) must not win over all-negative logits
+    valid = kiota < c
+    for li in range(hb):
+        for pr, (prev, cent, next_) in enumerate(_row_phases(rows, li, w)):
+            for pc in range(4):
+                vals = _col_phase(pc, prev, cent, next_)   # [kp, w]
+                vals = jnp.where(valid, vals, _NEG)
+                mx = jnp.max(vals, axis=0, keepdims=True)
+                m_id = jnp.min(jnp.where(vals >= mx, kiota, 2 ** 30),
+                               axis=0, keepdims=True)
+                o_ref[pr, pc, li, :] = m_id[0]
+
+
+def sseg_v3(score_chw, hb=8):
+    """Fused x4 phase-upsample + channel argmax (the semantic map).
+
+    score_chw: [C, h, w] f32 channel-major quarter-res logits.  Returns
+    the phase-blocked [4, 4, h, w] int32 argmax map — bit-identical to
+    ``argmax(upsample_x4_bilinear(score), -1)`` (first-index tie-break)
+    without ever materializing the [4h, 4w, C] full-res logits (whose
+    minor C=19 axis pads toward 128 lanes on TPU, ~6x the real bytes;
+    reference vps_temporal_slots.py:440-451 argmaxes the upsampled
+    logits)."""
+    c, h, w = score_chw.shape
+    kp = _round8(c)
+    hb = math.gcd(hb, h)
+    mp = _pad_khw(score_chw.astype(jnp.float32), kp, extra_rows=6)
+    return pl.pallas_call(
+        functools.partial(_sseg_kernel, hb=hb, w=w, kp=kp, c=c),
+        grid=(h // hb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((kp, hb + 8, _round128(w + 2)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(mp)
+
+
 def _hist_kernel(mid_ref, areas_ref, areas, *, hb, w, kp):
     t = pl.program_id(0)
     nt = pl.num_programs(0)

@@ -159,3 +159,24 @@ def test_mv_config_builds():
     assert cfg.model.stuff_num == 34
     assert cfg.model.slot_head.num_classes == 47
     assert cfg.eval.id_last_stuff == 33
+
+
+def test_fused_sseg_flag_quarter_res_and_parity(params):
+    """semantic_head.fused_sseg=True carries quarter-res fcn logits that
+    are exactly the x4-downsampled source of the flag-off full-res output
+    (upsample deferral, not a different computation)."""
+    import dataclasses
+
+    from slotvps_tpu.ops.interpolate import upsample_x4_bilinear
+
+    cfg_q = dataclasses.replace(
+        CFG, semantic_head=dataclasses.replace(
+            CFG.semantic_head, fused_sseg=True))
+    img = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 64, 128, 3)).astype(np.float32))
+    full = extract_features(params, CFG, img)
+    quarter = extract_features(params, cfg_q, img)
+    assert quarter.fcn_output.shape == (1, 16, 32, 19)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(upsample_x4_bilinear)(quarter.fcn_output)),
+        np.asarray(full.fcn_output), rtol=1e-6, atol=1e-6)

@@ -458,3 +458,90 @@ def test_argmax_v3_top2_and_hist():
     ref_areas = np.bincount(m1_ref.ravel(), minlength=k)[:k]
     np.testing.assert_array_equal(np.asarray(areas), ref_areas)
     np.testing.assert_array_equal(np.asarray(hist), ref_areas)
+
+
+# ---- fused sseg: x4 upsample + channel argmax in one kernel ----
+
+def test_sseg_v3_unit():
+    """sseg_v3 == argmax(torch bilinear x4 upsample) exactly."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from slotvps_tpu.ops.pallas.postproc_v3 import from_blocked, sseg_v3
+
+    rng = np.random.default_rng(3)
+    c, h, w = 19, 16, 32
+    score = rng.standard_normal((c, h, w)).astype(np.float32)
+    up = F.interpolate(torch.from_numpy(score)[None], scale_factor=4,
+                       mode="bilinear", align_corners=False)[0].numpy()
+    ref = up.argmax(0)
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() == "cpu" else _nullcontext())
+    with ctx:
+        ours = from_blocked(sseg_v3(jnp.asarray(score)))
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_fused_quarter_fcn_matches_full():
+    """The fused impl fed QUARTER-res fcn logits (semantic_head
+    fused_sseg=True) produces the same sseg/panoptic as the jax impl fed
+    the x4-upsampled full-res logits (the flag-off detector output)."""
+    import jax as _jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from slotvps_tpu.ops.interpolate import upsample_x4_bilinear
+
+    rng = np.random.default_rng(4)
+    logits, masks, _ = _case(rng)
+    out_size = (64, 96)
+    score_q = rng.standard_normal(
+        (out_size[0] // 4, out_size[1] // 4, 19)).astype(np.float32)
+    emb = rng.standard_normal((K, D)).astype(np.float32)
+    cfg = PostprocessConfig()
+    fcn_full = upsample_x4_bilinear(jnp.asarray(score_q))
+    ref = postprocess_frame(
+        jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(emb),
+        fcn_full, out_size, cfg)
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() == "cpu" else _nullcontext())
+    with ctx:
+        fused = postprocess_frame(
+            jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(emb),
+            jnp.asarray(score_q), out_size,
+            dataclasses.replace(cfg, impl="fused"))
+    np.testing.assert_array_equal(np.asarray(fused.sseg),
+                                  np.asarray(ref.sseg))
+    np.testing.assert_array_equal(np.asarray(fused.panoptic),
+                                  np.asarray(ref.panoptic))
+    np.testing.assert_array_equal(np.asarray(fused.kept),
+                                  np.asarray(ref.kept))
+
+
+def test_quarter_fcn_non4x_out_size_double_interp():
+    """out_size != 4x mask res (VIPER ori-shape case): quarter fcn logits
+    must be x4-upsampled FIRST and then resized (reference
+    vps_temporal_slots.py:697-698 then :440-451), matching a caller that
+    passes the full-res logits itself."""
+    import jax.numpy as jnp
+
+    from slotvps_tpu.ops.interpolate import upsample_x4_bilinear
+
+    rng = np.random.default_rng(5)
+    logits, masks, _ = _case(rng)          # masks [K, 16, 24]
+    out_size = (60, 88)                    # != (64, 96)
+    score_q = rng.standard_normal((16, 24, 19)).astype(np.float32)
+    emb = rng.standard_normal((K, D)).astype(np.float32)
+    cfg = PostprocessConfig()
+    fcn_full = upsample_x4_bilinear(jnp.asarray(score_q))  # [64, 96, 19]
+    ref = postprocess_frame(
+        jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(emb),
+        fcn_full, out_size, cfg)
+    ours = postprocess_frame(
+        jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(emb),
+        jnp.asarray(score_q), out_size, cfg)
+    np.testing.assert_array_equal(np.asarray(ours.sseg),
+                                  np.asarray(ref.sseg))
+    np.testing.assert_array_equal(np.asarray(ours.panoptic),
+                                  np.asarray(ref.panoptic))
