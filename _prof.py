@@ -68,6 +68,7 @@ def main():
 
         impls = {"postproc": ["pallas"], "fused": ["fused"]}
         todo = sum((impls[s] for s in sections if s in impls), [])
+        fcn_q = jnp.asarray(rng.standard_normal((h, w, 19)), jnp.float32)
         for impl in todo:
             for sd in (["float32", "bfloat16"] if impl != "fused"
                        else ["float32"]):
@@ -79,6 +80,11 @@ def main():
                             probe=lambda o: o.panoptic)
                 print(f"postproc impl={impl} stack={sd}: {dt*1e3:.2f} "
                       "ms/frame", flush=True)
+                if impl == "fused":
+                    dtq = timeit(f, logits, masks, embeds, fcn_q,
+                                 probe=lambda o: o.panoptic)
+                    print(f"postproc impl=fused quarter-fcn (sseg_v3): "
+                          f"{dtq*1e3:.2f} ms/frame", flush=True)
 
     if "kern3" in sections:
         from slotvps_tpu.ops.pallas.postproc_v3 import (

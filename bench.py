@@ -76,6 +76,9 @@ def main(config_name="r50_fpn_slotvps"):
         base, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(
             base.semantic_head, dcn_impl="pallas", fused_sseg=True),
+        slot_head=dataclasses.replace(
+            base.slot_head,
+            retriever_impl=os.environ.get("BENCH_RETRIEVER", "jax")),
         postprocess=dataclasses.replace(
             base.postprocess, impl="fused"))
     params = init_model(jax.random.PRNGKey(0), cfg)

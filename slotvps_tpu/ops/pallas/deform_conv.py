@@ -92,10 +92,10 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
         #     a ``swin``-column slice of the tile window, so the contracted
         #     axis is (2*halo+2)*swin instead of (2*halo+2)*wwin — 3x less
         #     MXU work and M-build work at tile=128/sub=32/halo=4.
+        samples = [[[] for _ in range(3)] for _ in range(3)]
         for rr in range(rblk):
             y = yb * rblk + rr
             yf = y.astype(jnp.float32)
-            samples = [[[] for _ in range(3)] for _ in range(3)]
             for s in range(n_sub):
                 for ky in range(3):
                     m_rows = []
@@ -152,19 +152,22 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
                         samples[ky][kx].append(
                             s_g[kx * sub:(kx + 1) * sub].astype(
                                 compute_dtype))
-            # weight contraction over full tiles: concatenating the
-            # subtiles first turns 9*n_sub M=sub matmuls into 9 M=tile
-            # matmuls (full MXU row utilization)
-            out = jnp.zeros((tile, c_out), jnp.float32)
-            for ky in range(3):
-                for kx in range(3):
-                    samp = samples[ky][kx][0] if n_sub == 1 else \
-                        jnp.concatenate(samples[ky][kx], axis=0)
-                    out += jax.lax.dot_general(
-                        samp, w_ref[ky * 3 + kx], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)
-            o_ref[0, rr, pl.ds(t * tile, tile), :] = out.astype(o_ref.dtype)
+        # weight contraction over the whole row block: concatenating the
+        # subtiles AND the rblk rows first turns 9*rblk*n_sub M=sub
+        # matmuls into 9 M=rblk*tile matmuls (full MXU row utilization,
+        # rblk x fewer issues).  Row order is rr-major (the rr loop is
+        # outer), matching the [rblk, tile] output block.
+        out = jnp.zeros((rblk * tile, c_out), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                samp = samples[ky][kx][0] if len(samples[ky][kx]) == 1 \
+                    else jnp.concatenate(samples[ky][kx], axis=0)
+                out += jax.lax.dot_general(
+                    samp, w_ref[ky * 3 + kx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+        o_ref[0, :, pl.ds(t * tile, tile), :] = out.reshape(
+            rblk, tile, c_out).astype(o_ref.dtype)
 
 
 def _round16(n):
