@@ -42,6 +42,7 @@ def main():
         halo = int(_os.environ.get("DCN_HALO", "4"))
         sub = int(_os.environ.get("DCN_SUB", "32"))
         rblk = int(_os.environ.get("DCN_RBLK", "4"))
+        rowfuse = _os.environ.get("DCN_ROWFUSE", "") == "1"
         for (h, w, ci, co) in [(256, 512, 256, 256), (256, 512, 256, 128),
                                (256, 512, 128, 128), (128, 256, 256, 256)]:
             x = jnp.asarray(rng.standard_normal((B, h, w, ci)), jnp.float32)
@@ -50,9 +51,10 @@ def main():
             wgt = jnp.asarray(
                 rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.float32)
             f = jax.jit(lambda x, o, w: deform_conv2d_pallas(
-                x, o, w, halo=halo, sub=sub, rblk=rblk))
+                x, o, w, halo=halo, sub=sub, rblk=rblk, rowfuse=rowfuse))
             dt = timeit(f, x, off, wgt)
-            print(f"dcn pallas halo{halo} sub{sub} rblk{rblk} B{B} "
+            print(f"dcn pallas halo{halo} sub{sub} rblk{rblk} "
+                  f"rowfuse{int(rowfuse)} B{B} "
                   f"{h}x{w} {ci}->{co}: "
                   f"{dt*1e3:.2f} ms ({dt/B*1e3:.2f} ms/frame)", flush=True)
 

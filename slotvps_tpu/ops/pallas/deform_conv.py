@@ -43,13 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
                 xwin, sems, *, halo, h, w, c_in, c_out, tile, sub, rblk,
-                compute_dtype):
+                compute_dtype, rowfuse=False):
     bi = pl.program_id(0)
     yb = pl.program_id(1)
     rbuf = 2 * halo + 3 + rblk  # window rows shared by the rblk output rows
     wwin = _round16(tile + 2 * halo + 4)  # sublane-aligned DMA
     swin = _swin(sub, halo)
-    ksub = (2 * halo + 2) * swin
+    # rowfuse: one one-hot contraction per (subtile, ky) spanning ALL rblk
+    # output rows — the window grows by rblk-1 rows (more MXU FLOPs) but
+    # M rises from 3*sub to rblk*3*sub rows (fewer, fuller matmuls)
+    rwin = (2 * halo + 2 + rblk - 1) if rowfuse else (2 * halo + 2)
+    ksub = rwin * swin
     n_tiles = w // tile
     n_sub = tile // sub
 
@@ -92,66 +96,86 @@ def _dcn_kernel(roff_ref, moff_ref, off_ref, x_hbm, w_ref, o_ref,
         #     a ``swin``-column slice of the tile window, so the contracted
         #     axis is (2*halo+2)*swin instead of (2*halo+2)*wwin — 3x less
         #     MXU work and M-build work at tile=128/sub=32/halo=4.
-        samples = [[[] for _ in range(3)] for _ in range(3)]
-        for rr in range(rblk):
+        def tap_m(rr, s, ky, kx):
+            """[sub, ksub] one-hot interpolation rows for one tap of one
+            subtile's pixels at output row yb*rblk+rr."""
             y = yb * rblk + rr
             yf = y.astype(jnp.float32)
+            k = ky * 3 + kx
+            px0 = t * tile + s * sub
+            dy = off_ref[0, rr, 2 * k, pl.ds(px0, sub)][:, None]
+            dx = off_ref[0, rr, 2 * k + 1, pl.ds(px0, sub)][:, None]
+            rig_y = yf + (ky - 1.0)
+            rig_x = col_iota + (px0 + kx - 1.0)
+            py = rig_y + dy
+            px = rig_x + dx
+            valid = (py > -1.0) & (py < h) & (px > -1.0) & (px < w)
+            py = jnp.clip(py, rig_y - halo, rig_y + halo)
+            px = jnp.clip(px, rig_x - halo, rig_x + halo)
+            y0 = jnp.floor(py)
+            x0 = jnp.floor(px)
+            fy = (py - y0).astype(jnp.float32)
+            fx = (px - x0).astype(jnp.float32)
+            # row index relative to this contraction group's window start
+            # (buffer row rr+ky — or ky when the group spans all rblk rows
+            # — holds unpadded row y + ky - 1 - halo); col index relative
+            # to the subtile window start
+            y0r = y0.astype(jnp.int32) - y + (halo + 1) - ky \
+                + (rr if rowfuse else 0)
+            x0r = x0.astype(jnp.int32) + (halo + 2) \
+                - t * tile - s * sub                   # [S,1]
+            # corner weights pre-folded on the tiny [sub, 1]
+            # columns so the big [sub, ksub] broadcasts are
+            # just compare+select+add
+            wtop = 1.0 - fy
+            wx1 = jnp.where(valid, fx, 0.0)
+            wx0 = jnp.where(valid, 1.0 - fx, 0.0)
+            # corner (a, b) -> subtile-flat (y0r+a)*swin+x0r+b
+            top = jnp.where(m_of == x0r, wx0 * wtop, 0.0) \
+                + jnp.where(m_of == x0r + 1, wx1 * wtop, 0.0)
+            bot = jnp.where(m_of == x0r, wx0 * fy, 0.0) \
+                + jnp.where(m_of == x0r + 1, wx1 * fy, 0.0)
+            return (jnp.where(r_of == y0r, top, 0.0)
+                    + jnp.where(r_of == y0r + 1, bot, 0.0)).astype(
+                        compute_dtype)
+
+        def onehot_dot(m_rows, base_row, s):
+            m_g = jnp.concatenate(m_rows, axis=0)
+            win = xwin[slot, base_row:base_row + rwin,
+                       pl.ds(s * sub, swin), :]
+            return jax.lax.dot_general(
+                m_g, win.reshape(ksub, c_in), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+
+        # samples[ky][kx]: per-(rr, s) [sub, C] blocks in rr-major order
+        samples = [[[None] * (rblk * n_sub) for _ in range(3)]
+                   for _ in range(3)]
+        if rowfuse:
+            # one [rblk*3*sub, ksub] contraction per (subtile, ky): the
+            # window spans all rblk rows (rwin = 2*halo+1+rblk rows)
             for s in range(n_sub):
                 for ky in range(3):
-                    m_rows = []
-                    for kx in range(3):
-                        k = ky * 3 + kx
-                        px0 = t * tile + s * sub
-                        dy = off_ref[0, rr, 2 * k, pl.ds(px0, sub)][:, None]
-                        dx = off_ref[0, rr, 2 * k + 1,
-                                     pl.ds(px0, sub)][:, None]
-                        rig_y = yf + (ky - 1.0)
-                        rig_x = col_iota + (px0 + kx - 1.0)
-                        py = rig_y + dy
-                        px = rig_x + dx
-                        valid = (py > -1.0) & (py < h) \
-                            & (px > -1.0) & (px < w)
-                        py = jnp.clip(py, rig_y - halo, rig_y + halo)
-                        px = jnp.clip(px, rig_x - halo, rig_x + halo)
-                        y0 = jnp.floor(py)
-                        x0 = jnp.floor(px)
-                        fy = (py - y0).astype(jnp.float32)
-                        fx = (px - x0).astype(jnp.float32)
-                        # row index relative to this (rr, ky) group's
-                        # window start (buffer row rr+ky holds unpadded row
-                        # y + ky - 1 - halo); col index relative to the
-                        # subtile window start
-                        y0r = y0.astype(jnp.int32) - y + (halo + 1) - ky
-                        x0r = x0.astype(jnp.int32) + (halo + 2) \
-                            - t * tile - s * sub                   # [S,1]
-                        # corner weights pre-folded on the tiny [sub, 1]
-                        # columns so the big [sub, ksub] broadcasts are
-                        # just compare+select+add
-                        wtop = 1.0 - fy
-                        wx1 = jnp.where(valid, fx, 0.0)
-                        wx0 = jnp.where(valid, 1.0 - fx, 0.0)
-                        # corner (a, b) -> subtile-flat (y0r+a)*swin+x0r+b
-                        top = jnp.where(m_of == x0r, wx0 * wtop, 0.0) \
-                            + jnp.where(m_of == x0r + 1, wx1 * wtop, 0.0)
-                        bot = jnp.where(m_of == x0r, wx0 * fy, 0.0) \
-                            + jnp.where(m_of == x0r + 1, wx1 * fy, 0.0)
-                        m_rows.append(
-                            (jnp.where(r_of == y0r, top, 0.0)
-                             + jnp.where(r_of == y0r + 1, bot, 0.0)).astype(
-                                 compute_dtype))
-                    # [3*sub, ksub] one-hot for this (subtile, kernel row)
-                    m_g = jnp.concatenate(m_rows, axis=0)
-                    win = xwin[slot, rr + ky:rr + ky + 2 * halo + 2,
-                               pl.ds(s * sub, swin), :]
-                    s_g = jax.lax.dot_general(
-                        m_g, win.reshape(ksub, c_in),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)                  # [3*sub, C]
-                    for kx in range(3):
-                        samples[ky][kx].append(
-                            s_g[kx * sub:(kx + 1) * sub].astype(
-                                compute_dtype))
+                    m_rows = [tap_m(rr, s, ky, kx)
+                              for rr in range(rblk) for kx in range(3)]
+                    s_g = onehot_dot(m_rows, ky, s)
+                    for rr in range(rblk):
+                        for kx in range(3):
+                            samples[ky][kx][rr * n_sub + s] = s_g[
+                                (rr * 3 + kx) * sub:
+                                (rr * 3 + kx + 1) * sub].astype(
+                                    compute_dtype)
+        else:
+            for rr in range(rblk):
+                for s in range(n_sub):
+                    for ky in range(3):
+                        # [3*sub, ksub] one-hot for (row, subtile, ky)
+                        m_rows = [tap_m(rr, s, ky, kx) for kx in range(3)]
+                        s_g = onehot_dot(m_rows, rr + ky, s)
+                        for kx in range(3):
+                            samples[ky][kx][rr * n_sub + s] = s_g[
+                                kx * sub:(kx + 1) * sub].astype(
+                                    compute_dtype)
         # weight contraction over the whole row block: concatenating the
         # subtiles AND the rblk rows first turns 9*rblk*n_sub M=sub
         # matmuls into 9 M=rblk*tile matmuls (full MXU row utilization,
@@ -189,6 +213,7 @@ def deform_conv2d_pallas(
     compute_dtype=jnp.bfloat16,
     sub: int = 32,
     rblk: int = 4,
+    rowfuse: bool = False,
 ) -> jnp.ndarray:
     """3x3 stride-1 pad-1 deformable conv (the semantic-tower case).
 
@@ -210,7 +235,8 @@ def deform_conv2d_pallas(
     rbuf = 2 * halo + 3 + rblk
     wwin = _round16(tile + 2 * halo + 4)  # sublane-aligned DMA
     swin = _swin(sub, halo)
-    ksub = (2 * halo + 2) * swin
+    rwin = (2 * halo + 2 + rblk - 1) if rowfuse else (2 * halo + 2)
+    ksub = rwin * swin
     assert (tile - sub) + swin <= wwin  # last subtile slice stays in window
 
     # zero-pad: top/left halo+2; bottom/right so the last window fits
@@ -225,7 +251,8 @@ def deform_conv2d_pallas(
 
     kernel = functools.partial(
         _dcn_kernel, halo=halo, h=h, w=w, c_in=c_in, c_out=c_out,
-        tile=tile, sub=sub, rblk=rblk, compute_dtype=compute_dtype)
+        tile=tile, sub=sub, rblk=rblk, compute_dtype=compute_dtype,
+        rowfuse=rowfuse)
 
     # offsets laid out [B, H, 18, W] so the kernel slices taps from the
     # sublane dim and pixels from the lane dim.  Batch rides the OUTER grid

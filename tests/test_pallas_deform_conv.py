@@ -128,3 +128,22 @@ def test_bf16_mode_close(rng):
                                            compute_dtype=jnp.bfloat16))
     denom = np.abs(ref).max()
     assert np.abs(ours - ref).max() / denom < 2e-2
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 128, 128, 64),
+    (2, 6, 256, 64, 64),
+])
+def test_rowfuse_matches_default(rng, shape):
+    """rowfuse=True (one one-hot contraction per (subtile, ky) spanning
+    the whole row block) is numerically identical to the default layout."""
+    b, h, w, c, co = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, h, w, 18)) * 2.5, jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    base = deform_conv2d_pallas(x, off, wt, halo=4,
+                                compute_dtype=jnp.float32)
+    fused = deform_conv2d_pallas(x, off, wt, halo=4,
+                                 compute_dtype=jnp.float32, rowfuse=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
