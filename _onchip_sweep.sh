@@ -1,0 +1,21 @@
+#!/bin/bash
+# On-chip measurement sweep after the round-3 continuation optimizations.
+# Serialized (single-core host): one heavy job at a time.
+set -x
+cd /root/repo
+LOG=/tmp/sweep.log
+: > $LOG
+
+# 1. headline bench (fused sseg + patch loop + DCN weight fuse)
+timeout 2400 python bench.py >> $LOG 2>&1
+
+# 2. postproc fused: quarter-fcn vs full-fcn delta
+timeout 1800 python _prof.py fused >> $LOG 2>&1
+
+# 3. DCN sweeps: default vs rowfuse, sub 16, rblk 8
+timeout 1200 python _prof.py dcn >> $LOG 2>&1
+DCN_ROWFUSE=1 timeout 1200 python _prof.py dcn >> $LOG 2>&1
+DCN_SUB=16 timeout 1200 python _prof.py dcn >> $LOG 2>&1
+DCN_RBLK=8 timeout 1200 python _prof.py dcn >> $LOG 2>&1
+
+echo SWEEP_DONE >> $LOG

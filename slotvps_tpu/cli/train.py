@@ -53,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--repeat_times", type=int, default=8)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dcn_impl", default=None,
+                   choices=["jax", "pallas", "pallas_f32"],
+                   help="semantic-tower DCN implementation (default: the "
+                        "config's; 'pallas' runs the one-hot-matmul TPU "
+                        "kernel forward AND backward via its custom vjp)")
     p.add_argument("--data_workers", type=int, default=2,
                    help="batch-assembly worker threads (reference analog: "
                         "DataLoader workers, loader/build_loader.py:18)")
@@ -228,6 +233,11 @@ def main(argv=None):
 
     args = parse_args(argv)
     cfg = named_config(args.config)
+    if args.dcn_impl:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, semantic_head=dataclasses.replace(
+                cfg.model.semantic_head, dcn_impl=args.dcn_impl)))
     os.makedirs(args.work_dir, exist_ok=True)
 
     dataset = RepeatDataset(

@@ -147,3 +147,117 @@ def test_rowfuse_matches_default(rng, shape):
                                  compute_dtype=jnp.float32, rowfuse=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Backward (custom vjp) — the Pallas backward kernel vs jax.grad of the XLA
+# path at the same halo (reference col2im analogs:
+# deform_conv_cuda_kernel.cu deformable_col2im / deformable_col2im_coord).
+# ---------------------------------------------------------------------------
+
+def _grads(fn, x, off, wt, rng):
+    r = jnp.asarray(rng.standard_normal(fn(x, off, wt).shape), jnp.float32)
+    return jax.grad(lambda *a: jnp.sum(fn(*a) * r), argnums=(0, 1, 2))(
+        x, off, wt)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 128, 64, 64),    # one column tile
+    pytest.param((2, 8, 256, 32, 64),   # two tiles, batched, Cin != Cout
+                 marks=pytest.mark.slow),
+])
+def test_grad_matches_xla(rng, shape):
+    b, h, w, c, co = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, h, w, 18)) * 1.5, jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    rng2 = np.random.default_rng(0)
+    ref = _grads(lambda *a: deform_conv2d(*a, padding=1,
+                                          max_displacement=4),
+                 x, off, wt, rng2)
+    rng2 = np.random.default_rng(0)
+    ours = _grads(lambda *a: deform_conv2d_pallas(
+        *a, halo=4, compute_dtype=jnp.float32), x, off, wt, rng2)
+    for g_ref, g_ours, name in zip(ref, ours, ["dx", "doffset", "dweight"]):
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.slow
+def test_grad_clamped_offsets(rng):
+    """Fully-clamped taps: zero offset gradient, dx/dW still match the
+    XLA path's autodiff at the same halo."""
+    b, h, w, c, co = 1, 8, 128, 32, 32
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(5.0 + 0.1 * rng.standard_normal((b, h, w, 18)),
+                      jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    rng2 = np.random.default_rng(1)
+    ref = _grads(lambda *a: deform_conv2d(*a, padding=1,
+                                          max_displacement=4),
+                 x, off, wt, rng2)
+    rng2 = np.random.default_rng(1)
+    ours = _grads(lambda *a: deform_conv2d_pallas(
+        *a, halo=4, compute_dtype=jnp.float32), x, off, wt, rng2)
+    assert float(jnp.abs(ours[1]).max()) == 0.0
+    for g_ref, g_ours, name in zip(ref, ours, ["dx", "doffset", "dweight"]):
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 25, 50, 32, 16),    # P5 at the 800x1600 training crop
+    (1, 8, 200, 32, 32),    # width padded to 256
+])
+def test_nonmultiple_width_fwd_and_grad(rng, shape):
+    """Widths that don't divide into column tiles are padded+sliced — the
+    wrapper must stay exact vs the XLA path, forward and backward."""
+    b, h, w, c, co = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, h, w, 18)) * 1.5, jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    ref = deform_conv2d(x, off, wt, padding=1, max_displacement=4)
+    ours = deform_conv2d_pallas(x, off, wt, halo=4,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    rng2 = np.random.default_rng(2)
+    gref = _grads(lambda *a: deform_conv2d(*a, padding=1,
+                                           max_displacement=4),
+                  x, off, wt, rng2)
+    rng2 = np.random.default_rng(2)
+    gours = _grads(lambda *a: deform_conv2d_pallas(
+        *a, halo=4, compute_dtype=jnp.float32), x, off, wt, rng2)
+    for g_ref, g_ours, name in zip(gref, gours,
+                                   ["dx", "doffset", "dweight"]):
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_dcn_block_grad_pallas_vs_jax(rng):
+    """The semantic-tower block (offset conv -> DCN -> GN -> ReLU) trains
+    through the Pallas custom vjp: full parameter + input grads match the
+    XLA implementation at the same halo."""
+    from slotvps_tpu.models.semantic_head import _dcn_block, _init_dcn_block
+
+    c = 8
+    params = _init_dcn_block(jax.random.PRNGKey(0), c, c)
+    # non-zero offset head so doffset actually flows
+    params["offset"]["w"] = jnp.asarray(
+        rng.standard_normal((3, 3, c, 18)) * 0.05, jnp.float32)
+    params["offset"]["b"] = jnp.asarray(
+        rng.standard_normal(18) * 0.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, c)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((1, 8, 32, c)), jnp.float32)
+
+    def loss(p, xx, impl):
+        return jnp.sum(_dcn_block(p, xx, 4, impl=impl, halo=4) * r)
+
+    g_jax = jax.grad(loss, argnums=(0, 1))(params, x, "jax")
+    g_pal = jax.grad(loss, argnums=(0, 1))(params, x, "pallas_f32")
+    flat_j, _ = jax.tree_util.tree_flatten_with_path(g_jax)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_pal)
+    for (path, a), (_, b) in zip(flat_j, flat_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=str(path))
