@@ -18,4 +18,17 @@ DCN_ROWFUSE=1 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 DCN_SUB=16 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 DCN_RBLK=8 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 
+# 4. retriever ablation (decoder slot-attention kernel vs XLA einsum)
+BENCH_RETRIEVER=pallas timeout 2400 python bench.py >> $LOG 2>&1
+
+# 5. Swin-L headline (shares postproc/DCN/sseg gains; round-2 was 5.4)
+timeout 2400 python bench.py swinl_fpn_slotvps >> $LOG 2>&1
+
+# 6. DCN backward: pallas custom-vjp vs XLA autodiff at training shapes
+timeout 1800 python _prof.py dcnbwd >> $LOG 2>&1
+
+# 7. full train step at the 800x1600 crop, per dcn impl
+TRAIN_DCN=jax timeout 2400 python _prof.py train >> $LOG 2>&1
+TRAIN_DCN=pallas timeout 2400 python _prof.py train >> $LOG 2>&1
+
 echo SWEEP_DONE >> $LOG

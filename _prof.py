@@ -58,6 +58,78 @@ def main():
                   f"{h}x{w} {ci}->{co}: "
                   f"{dt*1e3:.2f} ms ({dt/B*1e3:.2f} ms/frame)", flush=True)
 
+    if "dcnbwd" in sections:
+        # fwd+bwd at production shapes: pallas custom-vjp vs the XLA path
+        from slotvps_tpu.ops.deform_conv import deform_conv2d
+        from slotvps_tpu.ops.pallas.deform_conv import deform_conv2d_pallas
+        Bt = 2  # training pair (frame + ref frame)
+        for (h, w, ci, co) in [(200, 400, 256, 256), (200, 400, 256, 128),
+                               (100, 200, 256, 256)]:
+            x = jnp.asarray(rng.standard_normal((Bt, h, w, ci)), jnp.float32)
+            off = jnp.asarray(
+                rng.standard_normal((Bt, h, w, 18)) * 2, jnp.float32)
+            wgt = jnp.asarray(
+                rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.float32)
+            for name, fn in [
+                ("pallas", lambda *a: deform_conv2d_pallas(*a, halo=4)),
+                ("xla", lambda *a: deform_conv2d(
+                    *a, padding=1, max_displacement=4)),
+            ]:
+                g = jax.jit(jax.grad(
+                    lambda *a: (fn(*a) ** 2).sum().astype(jnp.float32),
+                    argnums=(0, 1, 2)))
+                dt = timeit(g, x, off, wgt, probe=lambda o: o[2])
+                print(f"dcn fwd+bwd impl={name} B{Bt} {h}x{w} {ci}->{co}: "
+                      f"{dt*1e3:.2f} ms", flush=True)
+
+    if "train" in sections:
+        # full train step at the released crop, per dcn impl
+        import dataclasses
+        import functools
+        import optax
+        from slotvps_tpu.config import named_config
+        from slotvps_tpu.models.detector import init_model
+        from slotvps_tpu.training.step import (make_train_batch, train_step,
+                                               trainable_mask)
+        h, w, g_cap = 800, 1600, 16
+        qh, qw = h // 4, w // 4
+        img = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+        gm = jnp.asarray(
+            rng.random((1, g_cap, qh, qw)) > 0.9, jnp.float32)
+        labels = jnp.asarray(rng.integers(11, 19, (1, g_cap)), jnp.int32)
+        valid = jnp.asarray(np.arange(g_cap)[None] < 6)
+        sem = jnp.asarray(rng.integers(0, 19, (1, qh, qw)), jnp.int32)
+        pids = jnp.asarray(np.arange(g_cap)[None] + 1, jnp.int32)
+        batch = make_train_batch(
+            img=img, ref_img=img, gt_labels=labels, gt_masks=gm,
+            gt_valid=valid, gt_semantic=sem, ref_gt_labels=labels,
+            ref_gt_masks=gm, ref_gt_valid=valid, gt_pids=pids)
+        import os as _os
+        impl = _os.environ.get("TRAIN_DCN", "jax")
+        cfg = named_config("r50_fpn_slotvps").model
+        cfg = dataclasses.replace(cfg, semantic_head=dataclasses.replace(
+            cfg.semantic_head, dcn_impl=impl,
+            dcn_halo=4 if impl.startswith("pallas") else 0))
+        params = init_model(jax.random.PRNGKey(0), cfg)
+        opt = optax.masked(
+            optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4)),
+            trainable_mask(params))
+        opt_state = opt.init(params)
+        step = jax.jit(functools.partial(train_step, cfg=cfg, optimizer=opt),
+                       donate_argnums=(0, 1))
+        t0 = time.perf_counter()
+        params, opt_state, metrics = step(params, opt_state, batch)
+        print(f"train dcn={impl} compile+first: "
+              f"{time.perf_counter()-t0:.1f}s "
+              f"loss={float(metrics['loss_total']):.3f}", flush=True)
+        for it in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, metrics = step(params, opt_state, batch)
+            lt = float(metrics["loss_total"])  # readback fences the step
+            print(f"train dcn={impl} step: "
+                  f"{(time.perf_counter()-t0)*1e3:.0f} ms "
+                  f"loss={lt:.3f}", flush=True)
+
     if "postproc" in sections or "fused" in sections:
         from slotvps_tpu.config import PostprocessConfig
         from slotvps_tpu.models.postprocess import postprocess_frame
