@@ -68,6 +68,14 @@ def parse_args(argv=None):
                         "--scan, requires videos aligned with "
                         "nframes_span_test chunks; verified bit-identical "
                         "to streaming")
+    p.add_argument("--save_diff_fig", action="store_true",
+                   help="write pan_diff/*.png error maps (pred - gt, "
+                        "zeroed where gt==0; reference eval_vpq.py:463-470)")
+    p.add_argument("--debug_postproc", action="store_true",
+                   help="per-frame postproc diagnostics: kept thing "
+                        "classes/scores and per-id pixel areas (host-side "
+                        "analog of the reference postprocessor's debug "
+                        "prints, vps_temporal_slots.py:613-650)")
     p.add_argument("--draw_line_charts", action="store_true",
                    help="per-video / per-category VPQ figures (reference "
                         "--draw_line_charts)")
@@ -163,6 +171,16 @@ def main(argv=None):
             cls_inds.append(res.cls_inds)
             obj_ids.append(res.obj_ids)
             names.append(osp.basename(meta["filename"]))
+            if args.debug_postproc:
+                ids, areas = np.unique(res.panoptic, return_counts=True)
+                area_of = dict(zip(ids.tolist(), areas.tolist()))
+                print(f"[postproc] {names[-1]}: "
+                      f"{len(res.cls_inds)} things kept "
+                      f"cls={res.cls_inds.tolist()} "
+                      f"prob={[round(float(p), 3) for p in res.cls_prob]} "
+                      f"obj_ids={res.obj_ids.tolist()} "
+                      f"areas={[area_of.get(11 + r, 0) for r in range(len(res.cls_inds))]} "
+                      f"void={area_of.get(255, 0)}")
             done = len(names)
             if done % 50 == 0:
                 dt = time.time() - t0
@@ -311,6 +329,11 @@ def main(argv=None):
         files.sort()
         gt_pans = [np.array(Image.open(osp.join(args.truth_dir, f)))
                    for f in files]
+        if args.save_diff_fig:
+            from slotvps_tpu.eval.vpq import save_diff_figs
+            save_diff_figs(pred_pans, gt_pans,
+                           [i["id"] + ".png" for i in gt_images],
+                           output_dir)
         summary = vpq_mod.final_eval(
             pred_json["annotations"], gt_annos, gt_pans, pred_pans, cats,
             output_dir=output_dir,

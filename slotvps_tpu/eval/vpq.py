@@ -325,6 +325,21 @@ def _write_vpq_txt(path: str, results: dict) -> None:
                         100 * r["ids_errp"], r["ids_sum"], r["ids_false"]))
 
 
+def save_diff_figs(pred_pans, gt_pans, file_names, output_dir: str) -> None:
+    """Per-frame error maps: uint8 channel-wise ``pred - gt`` (wrapping,
+    numpy uint8 semantics) zeroed wherever the gt pixel is 0, written to
+    ``<output_dir>/pan_diff/<id>.png`` — bit-compatible with the
+    reference's ``--save_diff_fig`` (tools/eval_vpq.py:463-470)."""
+    from PIL import Image
+
+    diff_dir = os.path.join(output_dir, "pan_diff")
+    os.makedirs(diff_dir, exist_ok=True)
+    for pred, gt, name in zip(pred_pans, gt_pans, file_names):
+        diff = np.asarray(pred, np.uint8) - np.asarray(gt, np.uint8)
+        diff[np.where(gt == 0)] = 0
+        Image.fromarray(diff).save(os.path.join(diff_dir, name))
+
+
 def final_eval(
     pred_jsons: Sequence[dict],
     gt_jsons: Sequence[dict],

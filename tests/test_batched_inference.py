@@ -114,7 +114,7 @@ def test_cli_batch_videos_matches_streaming(tmp_path, monkeypatch):
                 ".pkl", "_pred_pans_2ch.pkl"), "rb") as fh:
             return pickle.load(fh)
 
-    stream = run([], "s.pkl")
+    stream = run(["--debug_postproc"], "s.pkl")  # flag smoke
     batched = run(["--batch_videos", "2"], "b.pkl")
     assert len(stream) == len(batched) == n_videos * n_frames
     for i, (a, b) in enumerate(zip(stream, batched)):

@@ -192,3 +192,25 @@ def test_confusion_matrix_matches_reference_loop(rng):
                 ref[i, j] = label_count[cur]
     np.testing.assert_array_equal(ours, ref)
     assert ours.sum() == 1000
+
+
+def test_save_diff_figs_reference_rule(tmp_path):
+    """pan_diff error maps: uint8 wrap-around pred-gt, zeroed where gt==0,
+    one png per frame named by image id (reference eval_vpq.py:463-470)."""
+    from PIL import Image
+
+    from slotvps_tpu.eval.vpq import save_diff_figs
+
+    rng = np.random.default_rng(0)
+    pred = [rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+            for _ in range(2)]
+    gt = [rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+          for _ in range(2)]
+    gt[0][2:4, 3:6] = 0          # whole-pixel gt void
+    gt[1][5, 5, 1] = 0           # single-channel zero (channel-wise rule)
+    save_diff_figs(pred, gt, ["0001.png", "0002.png"], str(tmp_path))
+    for i, name in enumerate(["0001.png", "0002.png"]):
+        got = np.array(Image.open(tmp_path / "pan_diff" / name))
+        want = pred[i] - gt[i]          # uint8 wraps, like the reference
+        want[np.where(gt[i] == 0)] = 0  # channel-wise, not pixel-wise
+        np.testing.assert_array_equal(got, want)
