@@ -17,6 +17,7 @@ timeout 1200 python _prof.py dcn >> $LOG 2>&1
 DCN_ROWFUSE=1 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 DCN_SUB=16 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 DCN_RBLK=8 timeout 1200 python _prof.py dcn >> $LOG 2>&1
+DCN_HALO=2 timeout 1200 python _prof.py dcn >> $LOG 2>&1
 
 # 4. retriever ablation (decoder slot-attention kernel vs XLA einsum)
 BENCH_RETRIEVER=pallas timeout 2400 python bench.py >> $LOG 2>&1
