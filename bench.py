@@ -116,6 +116,16 @@ def main(config_name="r50_fpn_slotvps"):
         ref_feats, out, probe = frame_step(params, img, ref_feats)
     _ = np.asarray(probe)  # fence
 
+    trace_dir = os.environ.get("BENCH_TRACE", "")
+    if trace_dir:
+        # XLA profiler trace of 2 steps (inspect op-level MXU/VPU time with
+        # tensorboard-profile or the trace-event json under <dir>)
+        with jax.profiler.trace(trace_dir):
+            ref_feats, out, probe = frame_step(params, img, ref_feats)
+            ref_feats, out, probe = frame_step(params, img, ref_feats)
+            _ = np.asarray(probe)
+        print(f"# trace written to {trace_dir}", file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(ITERS):
         ref_feats, out, probe = frame_step(params, img, ref_feats)
