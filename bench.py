@@ -48,8 +48,37 @@ WARMUP = 2
 ITERS = 8
 
 
+def _backend_watchdog(timeout_s=300):
+    """Fail fast (with a parseable JSON line) if the TPU backend never
+    initializes — the tunneled axon platform hangs indefinitely when the
+    tunnel is down, which would otherwise leave the driver with no output
+    at all.  Returns an Event the caller sets once devices are up."""
+    import threading
+
+    ready = threading.Event()
+
+    def _watch():
+        if not ready.wait(timeout_s):
+            print(json.dumps({
+                "metric": "VPS frames/sec/chip at 1024x2048",
+                "value": 0.0,
+                "unit": "frames/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"TPU backend init did not complete within "
+                         f"{timeout_s}s (axon tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return ready
+
+
 def main(config_name="r50_fpn_slotvps"):
+    ready = _backend_watchdog()
     import jax
+
+    jax.devices()  # triggers backend init; hangs here if the tunnel is down
+    ready.set()
 
     try:
         # persistent compile cache: repeated bench runs skip the multi-
