@@ -32,4 +32,9 @@ timeout 1800 python _prof.py dcnbwd >> $LOG 2>&1
 TRAIN_DCN=jax timeout 2400 python _prof.py train >> $LOG 2>&1
 TRAIN_DCN=pallas timeout 2400 python _prof.py train >> $LOG 2>&1
 
+# 8. op-level XLA profiler trace of 2 steady-state steps (for the DCN
+# MXU-utilization and decoder breakdown questions — round-4 leads)
+rm -rf /tmp/bench_trace
+BENCH_TRACE=/tmp/bench_trace timeout 2400 python bench.py >> $LOG 2>&1
+
 echo SWEEP_DONE >> $LOG

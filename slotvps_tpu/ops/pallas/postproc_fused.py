@@ -116,7 +116,7 @@ def theta_pallas(m_lowres, valid, pixel_threshold):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, 4 * w), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -290,7 +290,7 @@ def argmax_areas_pallas(m_lowres, owner, kept, is_thing):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, 4 * w), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -147,7 +147,7 @@ def theta_v3(m_klow, valid, pixel_threshold, hb=8):
         in_specs=[
             pl.BlockSpec((kp, 1), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
                                memory_space=pltpu.VMEM),
@@ -250,7 +250,7 @@ def claim_v3(m_klow, theta_b, labels, is_thing, valid, fraction_threshold):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4, 4, h, w), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -345,7 +345,7 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
         in_specs=[
             pl.BlockSpec((kp, 2), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -416,7 +416,7 @@ def sseg_v3(score_chw, hb=8):
     return pl.pallas_call(
         functools.partial(_sseg_kernel, hb=hb, w=w, kp=kp, c=c),
         grid=(h // hb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),
