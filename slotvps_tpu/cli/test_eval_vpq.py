@@ -152,8 +152,8 @@ def main(argv=None):
             from slotvps_tpu.utils.diagnostics import check_dcn_halo
             mx, eff, rec = check_dcn_halo(params, cfg.model, warn=False)
             print(f"DCN offsets: checkpoint emits up to {mx:.2f} px "
-                  f"(halo in effect: {eff} px)")
-            if rec > eff:
+                  f"(per-level halos in effect: {eff} px)")
+            if rec != eff:
                 print(f"WARNING: raising dcn_halo {eff} -> {rec} so no "
                       "sample clamps")
                 m = cfg.model

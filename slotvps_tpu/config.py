@@ -103,11 +103,21 @@ class SemanticHeadConfig:
     # DCN sampling-halo radius in pixels: offsets beyond +-halo of a tap's
     # rigid position are clamped (the reference CUDA kernel is unbounded —
     # deform_conv_cuda_kernel.cu deformable_im2col).  0 = per-impl default
-    # (8 for 'jax', 4 for the tuned 'pallas' kernel).  Checkpoint loading
+    # (8 for 'jax', 4 for the tuned 'pallas' kernel).  A per-level tuple
+    # (P2..P5 order, len == num_levels) sets each pyramid level's halo
+    # independently — the halo is the dominant FLOP knob of the Pallas
+    # kernel (contracted dim = (2*halo+2)*window), and fine levels need
+    # smaller sampling ranges than coarse ones.  Checkpoint loading
     # measures the max offset the converted conv_offset heads emit on a
-    # calibration image and auto-raises this when it would clamp
-    # (utils/diagnostics.py).
-    dcn_halo: int = 0
+    # calibration image PER LEVEL and auto-raises any level that would
+    # clamp (utils/diagnostics.py).
+    dcn_halo: "int | Tuple[int, ...]" = 0
+
+    def level_halo(self, level: int) -> int:
+        """Halo for pyramid level ``level`` (0 = P2 … num_levels-1 = P5)."""
+        if isinstance(self.dcn_halo, tuple):
+            return self.dcn_halo[level]
+        return self.dcn_halo
 
 
 @_frozen

@@ -85,10 +85,10 @@ def apply_semantic_head(
     """
     assert len(inputs) == cfg.num_levels
     fpn_px = []
-    for x in inputs:
+    for lvl, x in enumerate(inputs):
         for block in params["tower"]:
             x = _dcn_block(block, x, cfg.gn_groups, impl=cfg.dcn_impl,
-                           halo=cfg.dcn_halo)
+                           halo=cfg.level_halo(lvl))
         fpn_px.append(x)
 
     feat_before = fpn_px[:cfg.num_levels][::-1]

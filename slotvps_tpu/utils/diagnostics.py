@@ -6,39 +6,45 @@ The reference CUDA deformable conv samples at unbounded offsets
 ops/pallas/deform_conv.py) clamp each tap into a +-halo window of its
 rigid position.  A trained ``conv_offset`` head whose offsets exceed the
 halo would silently clamp — these helpers make that measurable at
-checkpoint-load time (VERDICT r2 ask #5)."""
+checkpoint-load time (VERDICT r2 ask #5), PER pyramid level: the halo is
+the dominant FLOP knob of the Pallas kernel (contracted dim =
+(2*halo+2)*window) and fine levels (P2, the most expensive) typically
+emit much smaller offsets than coarse ones, so the calibrated result is
+a per-level tuple that is both faster AND safer than one global halo."""
 
 from __future__ import annotations
 
 import warnings
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
 
-def effective_halo(sh_cfg) -> int:
-    """The halo a SemanticHeadConfig actually runs with (0 = per-impl
-    default: 8 for the XLA path, 4 for the tuned Pallas kernel)."""
-    if sh_cfg.dcn_halo:
-        return sh_cfg.dcn_halo
-    return 4 if sh_cfg.dcn_impl.startswith("pallas") else 8
+def effective_halo(sh_cfg) -> Tuple[int, ...]:
+    """The per-level halos a SemanticHeadConfig actually runs with
+    (0 = per-impl default: 8 for the XLA path, 4 for the tuned Pallas
+    kernel).  Always a tuple of len num_levels."""
+    default = 4 if sh_cfg.dcn_impl.startswith("pallas") else 8
+    if isinstance(sh_cfg.dcn_halo, tuple):
+        return tuple(h or default for h in sh_cfg.dcn_halo)
+    return (sh_cfg.dcn_halo or default,) * sh_cfg.num_levels
 
 
 def measure_max_dcn_offset(params, cfg, image=None, hw=(256, 512),
-                           seed: int = 0) -> float:
-    """Max |offset| component any semantic-tower DCN block emits on a
-    calibration image (random-normal by default; pass a real normalized
-    [1, H, W, 3] image for a tighter estimate).
+                           seed: int = 0) -> np.ndarray:
+    """Per-level max |offset| component any semantic-tower DCN block emits
+    on a calibration image (random-normal by default; pass a real
+    normalized [1, H, W, 3] image for a tighter estimate).
 
     Walks backbone -> FPN -> each tower block per level, collecting the
-    offset-conv outputs before the deformable convs consume them."""
+    offset-conv outputs before the deformable convs consume them.
+    Returns [num_levels] f32 (P2..P5 order)."""
     import jax
     import jax.numpy as jnp
 
     from slotvps_tpu.models import layers as L
     from slotvps_tpu.models.detector import apply_backbone
     from slotvps_tpu.models.fpn import apply_fpn
-    from slotvps_tpu.models.semantic_head import _dcn_block
 
     if image is None:
         rng = np.random.default_rng(seed)
@@ -48,37 +54,45 @@ def measure_max_dcn_offset(params, cfg, image=None, hw=(256, 512),
 
     @jax.jit
     def run(params, img):
+        from slotvps_tpu.models.semantic_head import _dcn_block
+
         img = img.astype(jnp.dtype(cfg.compute_dtype))
         feats = apply_backbone(params, cfg, img)
         fpn_outs = apply_fpn(params["fpn"], feats,
                              num_outs=cfg.fpn.num_outs)
         maxima = []
         for x in fpn_outs[:sh.num_levels]:
+            lvl_max = []
             for block in params["semantic_head"]["tower"]:
                 off = L.conv2d(block["offset"], x, padding=1)
-                maxima.append(jnp.abs(off.astype(jnp.float32)).max())
+                lvl_max.append(jnp.abs(off.astype(jnp.float32)).max())
                 # exact (unclamped-within-16) features for the next block
                 x = _dcn_block(block, x, sh.gn_groups, impl="jax", halo=16)
+            maxima.append(jnp.stack(lvl_max).max())
         return jnp.stack(maxima)
 
-    return float(np.asarray(run(params, image)).max())
+    return np.asarray(run(params, image))
 
 
 def check_dcn_halo(params, cfg, image=None, warn: bool = True
-                   ) -> tuple[float, int, int]:
-    """Measure the checkpoint's offset range vs the configured halo.
+                   ) -> tuple[float, Tuple[int, ...], Tuple[int, ...]]:
+    """Measure the checkpoint's per-level offset range vs the configured
+    halos.
 
-    Returns ``(max_offset, halo_in_effect, recommended_halo)`` where
-    ``recommended_halo >= halo_in_effect`` only if the measured offsets
-    would clamp.  Callers (cli/test_eval_vpq.py) auto-raise
-    ``semantic_head.dcn_halo`` to the recommendation."""
+    Returns ``(max_offset, halos_in_effect, recommended_halos)`` — all
+    per-level tuples except ``max_offset`` (the global max, for the log
+    line).  ``recommended_halos[l] >= halos_in_effect[l]`` only where the
+    measured offsets at level l would clamp.  Callers
+    (cli/test_eval_vpq.py) auto-raise ``semantic_head.dcn_halo`` to the
+    recommendation."""
     eff = effective_halo(cfg.semantic_head)
     mx = measure_max_dcn_offset(params, cfg, image=image)
-    rec = max(eff, int(np.ceil(mx)))
-    if warn and rec > eff:
+    rec = tuple(max(e, int(np.ceil(m))) for e, m in zip(eff, mx))
+    if warn and rec != eff:
         warnings.warn(
-            f"converted conv_offset heads emit offsets up to {mx:.2f} px "
-            f"but the DCN halo in effect is {eff} px — samples would be "
-            f"clamped (the reference CUDA kernel is unbounded). Raise "
+            f"converted conv_offset heads emit offsets up to "
+            f"{[round(float(m), 2) for m in mx]} px per level but the DCN "
+            f"halos in effect are {eff} px — samples would be clamped "
+            f"(the reference CUDA kernel is unbounded). Raise "
             f"SemanticHeadConfig.dcn_halo to {rec}.", RuntimeWarning)
-    return mx, eff, rec
+    return float(mx.max()), eff, rec

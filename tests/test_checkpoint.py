@@ -155,13 +155,23 @@ def test_check_dcn_halo_measures_offsets():
         semantic_head=SemanticHeadConfig(dcn_impl="pallas"))
     params = init_model(jax.random.PRNGKey(0), cfg)
 
-    # zero-init offset heads: nothing to clamp, halo stays at the tuned 4
+    # zero-init offset heads: nothing to clamp, halos stay at the tuned 4
     mx, eff, rec = check_dcn_halo(params, cfg, warn=False)
-    assert eff == 4 and mx == 0.0 and rec == 4
+    assert eff == (4, 4, 4, 4) and mx == 0.0 and rec == (4, 4, 4, 4)
 
     # doctor block 0's offset bias to 6 px: every tap exceeds the halo
+    # at EVERY level (the tower is shared across levels)
     params["semantic_head"]["tower"][0]["offset"]["b"] = \
         jnp.full((18,), 6.0)
     with pytest.warns(RuntimeWarning, match="dcn_halo"):
         mx, eff, rec = check_dcn_halo(params, cfg)
-    assert mx >= 6.0 and rec >= 6
+    assert mx >= 6.0 and all(r >= 6 for r in rec)
+
+    # per-level tuple config: only the levels that clamp are raised
+    cfg2 = dataclasses.replace(
+        cfg, semantic_head=dataclasses.replace(
+            cfg.semantic_head, dcn_halo=(2, 2, 8, 8)))
+    mx2, eff2, rec2 = check_dcn_halo(params, cfg2, warn=False)
+    assert eff2 == (2, 2, 8, 8)
+    assert rec2[0] >= 6 and rec2[1] >= 6      # 2-px levels must widen
+    assert rec2[2] == 8 and rec2[3] == 8      # 8-px levels already cover

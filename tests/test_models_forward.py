@@ -180,3 +180,37 @@ def test_fused_sseg_flag_quarter_res_and_parity(params):
     np.testing.assert_allclose(
         np.asarray(jax.vmap(upsample_x4_bilinear)(quarter.fcn_output)),
         np.asarray(full.fcn_output), rtol=1e-6, atol=1e-6)
+
+
+def test_per_level_dcn_halo_tuple(params):
+    """dcn_halo accepts a per-level tuple (P2..P5): each level runs its
+    own halo, and with offsets inside every level's halo the result
+    matches the single-halo config exactly."""
+    import dataclasses
+
+    from slotvps_tpu.models.fpn import apply_fpn
+    from slotvps_tpu.models.semantic_head import apply_semantic_head
+    from slotvps_tpu.models.detector import apply_backbone
+
+    img = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 64, 128, 3)).astype(np.float32))
+    feats = apply_backbone(params, CFG, img)
+    fpn_outs = apply_fpn(params["fpn"], feats, num_outs=CFG.fpn.num_outs)
+
+    # doctor the offset biases so sampling is off-rigid but within the
+    # smallest per-level halo (2 px)
+    sp = dict(params["semantic_head"])
+    sp["tower"] = [dict(b) for b in sp["tower"]]
+    for b in sp["tower"]:
+        b["offset"] = dict(b["offset"], b=jnp.full((18,), 1.5))
+
+    sh8 = dataclasses.replace(CFG.semantic_head, dcn_halo=8)
+    sh_t = dataclasses.replace(CFG.semantic_head, dcn_halo=(2, 3, 4, 8))
+    assert [sh_t.level_halo(i) for i in range(4)] == [2, 3, 4, 8]
+    out8 = apply_semantic_head(sp, fpn_outs[:4], sh8)
+    out_t = apply_semantic_head(sp, fpn_outs[:4], sh_t)
+    np.testing.assert_allclose(np.asarray(out_t[0]), np.asarray(out8[0]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(out_t[2], out8[2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -39,6 +39,23 @@ def test_matches_xla_within_halo(rng, shape):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("halo", [2, 3, 6])
+def test_matches_xla_at_other_halos(rng, halo):
+    """Per-level halos (config dcn_halo tuples) compile the kernel at
+    halos other than the tuned 4 — each must match the XLA path run at
+    the same max_displacement."""
+    b, h, w, c, co = 1, 8, 128, 64, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((b, h, w, 18)) * (halo / 2.0),
+                      jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.05, jnp.float32)
+    ref = deform_conv2d(x, off, wt, padding=1, max_displacement=halo)
+    ours = deform_conv2d_pallas(x, off, wt, halo=halo,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_zero_offsets_is_plain_conv(rng):
     import torch
     import torch.nn.functional as F
