@@ -101,10 +101,18 @@ def main(config_name="r50_fpn_slotvps"):
     base = named_config(config_name).model
     # production-tuned: bf16 activations (params fp32, norm stats fp32,
     # logits/masks/postproc fp32) + Pallas one-hot-matmul DCN kernel
+    # per-level DCN halos (P2..P5): fine levels need smaller sampling
+    # ranges than coarse ones (the halo sets the kernel's contracted dim,
+    # its dominant FLOP knob), and checkpoint loading auto-raises any
+    # level whose converted conv_offset head would clamp
+    # (utils/diagnostics.check_dcn_halo)
+    halos = tuple(int(x) for x in os.environ.get(
+        "BENCH_HALOS", "2,3,4,6").split(","))
     cfg = dataclasses.replace(
         base, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(
-            base.semantic_head, dcn_impl="pallas", fused_sseg=True),
+            base.semantic_head, dcn_impl="pallas", fused_sseg=True,
+            dcn_halo=halos[:base.semantic_head.num_levels]),
         slot_head=dataclasses.replace(
             base.slot_head,
             retriever_impl=os.environ.get("BENCH_RETRIEVER", "jax")),

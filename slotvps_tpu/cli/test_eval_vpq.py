@@ -88,9 +88,14 @@ def tune_config(cfg):
     m = cfg.model
     m = dataclasses.replace(
         m, compute_dtype="bfloat16",
-        semantic_head=dataclasses.replace(m.semantic_head,
-                                          dcn_impl="pallas",
-                                          fused_sseg=True),
+        semantic_head=dataclasses.replace(
+            m.semantic_head, dcn_impl="pallas", fused_sseg=True,
+            # per-level halos (P2..P5): fine levels sample locally, coarse
+            # levels get MORE range than the old uniform 4; checkpoint
+            # loading measures the offsets the converted conv_offset heads
+            # emit and auto-raises any level that would clamp (main below
+            # + utils/diagnostics.check_dcn_halo)
+            dcn_halo=(2, 3, 4, 6)[:m.semantic_head.num_levels]),
         postprocess=dataclasses.replace(m.postprocess, impl="fused"))
     return dataclasses.replace(cfg, model=m)
 

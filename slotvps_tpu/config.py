@@ -193,6 +193,18 @@ class PostprocessConfig:
     # 1024x2048x100); softmax accumulations stay f32.  Tuned/bench path
     # only — f32 for bit-parity work.
     stack_dtype: str = "float32"
+    # Fused-impl detection capacity: the slot permutation puts every
+    # valid (score>threshold, non-no-obj) slot in a contiguous prefix, so
+    # when at most this many slots are valid the fixed full-resolution
+    # passes (theta logsumexp, argmax/top-2, small-area recomputes) run
+    # on a [detect_capacity, h, w] prefix instead of all
+    # ``proposal_num`` slots — the postproc cost scales with detections
+    # (at the production 0.85 threshold, typically 10-30 of 100 slots),
+    # like the claim kernel already does.  EXACT: invalid slots
+    # contribute nothing to any pass, and a ``lax.cond`` falls back to
+    # the full-capacity pipeline whenever more slots are valid.
+    # 0 disables.  Fused impl only.
+    detect_capacity: int = 64
 
 
 @_frozen

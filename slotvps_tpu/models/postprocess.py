@@ -295,6 +295,35 @@ def postprocess_frame(
     is_thing = classes > cfg.num_stuff - 1
 
     if fused_ok:
+        cap = getattr(cfg, "detect_capacity", 0)
+        if cap and 0 < cap < k:
+            # every valid slot sits in the permutation's prefix (stuff
+            # desc, things desc, invalid — _slot_order), so when at most
+            # ``cap`` slots are valid the whole fused pipeline can run on
+            # the first ``cap`` slots with bit-identical results; the
+            # cond's other branch is the exact full-capacity pipeline
+            def _sliced(_):
+                r = _postprocess_fused(
+                    masks[:cap], scores[:cap], classes[:cap], valid[:cap],
+                    embeds[:cap], is_thing[:cap], fcn_output, cfg)
+                pad = k - cap
+                return PostprocResult(
+                    kept=jnp.concatenate(
+                        [r.kept, jnp.zeros((pad,), bool)]),
+                    is_thing=is_thing, labels=classes, scores=scores,
+                    embeddings=embeds,
+                    thing_rank=jnp.concatenate(
+                        [r.thing_rank, jnp.full((pad,), -1, jnp.int32)]),
+                    panoptic=r.panoptic, sseg=r.sseg,
+                    n_kept=r.n_kept, n_things=r.n_things)
+
+            def _full(_):
+                return _postprocess_fused(masks, scores, classes, valid,
+                                          embeds, is_thing, fcn_output,
+                                          cfg)
+
+            return jax.lax.cond(
+                valid.sum() <= cap, _sliced, _full, None)
         return _postprocess_fused(masks, scores, classes, valid,
                                   embeds, is_thing, fcn_output, cfg)
     masks_hwk = masks.transpose(1, 2, 0)
