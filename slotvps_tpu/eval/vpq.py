@@ -64,6 +64,7 @@ class PQStat:
     def pq_average(self, categories: Dict[int, dict], isthing: Optional[bool]):
         pq = sq = rq = n = 0
         ids_sum = ids_false = 0
+        ids_errp = 0.0  # SUM of per-class ratios (reference :100-111)
         tps = fps = fns = 0
         per_class: Dict[int, dict] = {}
         for label, info in categories.items():
@@ -96,14 +97,20 @@ class PQStat:
             fns += stat.fn
             ids_sum += stat.ids_sum
             ids_false += stat.ids_false
+            ids_errp += per_class[label]["ids_errp"]
         if n > 0:
             result = {"pq": pq / n, "sq": sq / n, "rq": rq / n, "n": n}
         else:
             result = {"pq": 0, "sq": 0, "rq": 0, "n": 0}
+        # NOTE the reference's aggregate ``ids_errp`` is the SUM of the
+        # per-class ratios (tools/eval_vpq.py:100-111) — that value feeds
+        # the vpq-{k}.txt All/Things/Stuff rows (:374-377).  The aggregate
+        # ratio ids_false/ids_sum is used only for vpq-final (:360),
+        # recomputed there from the counters.
         result.update(
             ids_sum=ids_sum,
             ids_false=ids_false,
-            ids_errp=(ids_false / ids_sum) if ids_sum else 0,
+            ids_errp=ids_errp,
             tps=tps, fps=fps, fns=fns,
         )
         return result, per_class

@@ -221,6 +221,73 @@ def test_golden_vs_reference(nframes, rng):
         assert o.ids_false == t_.ids_false, cat
 
 
+def _switchy_videos(rng, n_videos=2, n_frames=6):
+    """Random videos engineered so ≥2 classes accrue ID switches: pred
+    relabels one stuff id and one thing id mid-video (same class, same
+    region ⇒ the tube still matches at IoU>0.5, so the switch is counted
+    by the reference's ids_memory rule, tools/eval_vpq.py:238-246)."""
+    videos = []
+    for _ in range(n_videos):
+        switch_at = int(rng.integers(2, n_frames - 1))
+        frames = []
+        for t in range(n_frames):
+            gt_map = rng.integers(0, 6, size=(16, 16)).astype(np.uint32)
+            pred_map = gt_map.copy()
+            noise = rng.random((16, 16)) < 0.1
+            pred_map[noise] = rng.integers(0, 6, size=int(noise.sum()))
+            gt_segs = {i: (1 if i < 3 else 2) for i in range(1, 6)}
+            pred_segs = dict(gt_segs)
+            if t >= switch_at:
+                # stuff id 2 -> 12, thing id 4 -> 14 (categories unchanged)
+                pred_map[pred_map == 2] = 12
+                pred_map[pred_map == 4] = 14
+                del pred_segs[2], pred_segs[4]
+                pred_segs[12], pred_segs[14] = 1, 2
+            frames.append((_frame(gt_map, gt_segs),
+                           _frame(pred_map, pred_segs)))
+        videos.append(_set(frames))
+    return videos
+
+
+@pytest.mark.skipif(REF is None, reason="reference evaluator not importable")
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_vpq_txt_artifacts_byte_identical(seed, tmp_path):
+    """vpq-{k}.txt written by our evaluator must be byte-identical to the
+    file the reference's own ``vpq_compute`` writes on the same inputs —
+    including the aggregate ERRP column, which is the SUM of per-class
+    ratios in the All/Things/Stuff rows (tools/eval_vpq.py:100-111,
+    374-377), not the aggregate ids_false/ids_sum ratio."""
+    rng = np.random.default_rng(seed)
+    gt_pred_split = _switchy_videos(rng)
+
+    ours_dir = tmp_path / "ours"
+    ref_dir = tmp_path / "ref"
+    ours_dir.mkdir()
+    ref_dir.mkdir()
+
+    for nframes in (1, 2, 3, 4):
+        k = (nframes - 1) * 5
+        vpq_compute(gt_pred_split, CATS, nframes, output_dir=str(ours_dir))
+        acc = [[] for _ in range(8)]
+        REF.vpq_compute(
+            [[tuple(x) for x in v] for v in gt_pred_split], CATS, nframes,
+            str(ref_dir), *acc)
+        ours_txt = (ours_dir / f"vpq-{k}.txt").read_bytes()
+        ref_txt = (ref_dir / f"vpq-{k}.txt").read_bytes()
+        assert ours_txt == ref_txt, f"vpq-{k}.txt differs"
+
+    # the divergence regime must actually be exercised: at k=0 both
+    # classes accrue switches, so the summed per-class ERRP (what the txt
+    # All row prints) differs from the aggregate ids_false/ids_sum ratio
+    stat = PQStat()
+    for video in gt_pred_split:
+        stat += vpq_compute_single_core(video, CATS, nframes=1)
+    res, _ = stat.pq_average(CATS, isthing=None)
+    assert res["ids_false"] > 0
+    assert res["ids_errp"] != pytest.approx(
+        res["ids_false"] / res["ids_sum"])
+
+
 @pytest.mark.skipif(REF is None, reason="reference evaluator not importable")
 def test_image_pq_golden_vs_reference(rng):
     """Image PQ (nframes=1 per isolated frame) must equal the reference's
