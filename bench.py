@@ -103,11 +103,17 @@ def main(config_name="r50_fpn_slotvps"):
     # logits/masks/postproc fp32) + Pallas one-hot-matmul DCN kernel
     # per-level DCN halos (P2..P5): fine levels need smaller sampling
     # ranges than coarse ones (the halo sets the kernel's contracted dim,
-    # its dominant FLOP knob), and checkpoint loading auto-raises any
-    # level whose converted conv_offset head would clamp
-    # (utils/diagnostics.check_dcn_halo)
+    # its dominant FLOP knob).  NOTE the benched number assumes these
+    # halos hold for the eval checkpoint too: checkpoint loading
+    # calibrates and auto-raises any level whose converted conv_offset
+    # head would clamp (utils/diagnostics.check_dcn_halo), and a raised
+    # level costs proportionally more.
     halos = tuple(int(x) for x in os.environ.get(
         "BENCH_HALOS", "2,3,4,6").split(","))
+    if len(halos) < base.semantic_head.num_levels:
+        raise SystemExit(
+            f"BENCH_HALOS must list >= {base.semantic_head.num_levels} "
+            f"per-level halos (P2..P5), got {halos!r}")
     cfg = dataclasses.replace(
         base, compute_dtype="bfloat16",
         semantic_head=dataclasses.replace(
@@ -119,6 +125,42 @@ def main(config_name="r50_fpn_slotvps"):
         postprocess=dataclasses.replace(
             base.postprocess, impl="fused"))
     params = init_model(jax.random.PRNGKey(0), cfg)
+
+    # ---- production-regime calibration -------------------------------
+    # Random-init weights keep ~0 slots at threshold 0.85 (focal prior
+    # bias), which would measure the postprocessor's EMPTY branch — not
+    # the production workload, where a real frame keeps tens of
+    # segments.  Doctor + calibrate the head (pure JAX, see
+    # utils/calibration.py) so ~TARGET_VALID slots clear the keep rule;
+    # the resulting kept/things counts are recorded in the JSON.
+    # BENCH_CALIB=0 restores the old empty-regime measurement.
+    calib_info = {"enabled": False}
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)), jnp.float32)
+    if os.environ.get("BENCH_CALIB", "1") != "0":
+        from slotvps_tpu.utils.calibration import (
+            calibrate_class_head, doctor_params)
+
+        target = int(os.environ.get("BENCH_TARGET_VALID", "48"))
+        params = doctor_params(params, jax.random.PRNGKey(1))
+
+        @jax.jit
+        def _probe(params, img1):
+            f = extract_features(params, cfg, img1)
+            return decode_pair(params, cfg, f, f).pred_logits[0]
+
+        # probe at 1/4 the bench resolution: the slot-logit statistics
+        # the bisection needs are close enough (verified by the recorded
+        # n_kept at full res), and the full-res probe graph is expensive
+        # enough to OOM the compile helper
+        probe_logits = _probe(params, img[:1, ::4, ::4])
+        params, calib_info = calibrate_class_head(
+            params, probe_logits, jax.random.PRNGKey(2),
+            target_valid=target, threshold=cfg.postprocess.threshold)
+        calib_info["enabled"] = True
+        print(f"# calib: scale {calib_info['scale']:.3f}, "
+              f"{calib_info['n_valid_probe']} slots clear "
+              f"{cfg.postprocess.threshold} on probe", file=sys.stderr)
 
     @jax.jit
     def frame_step(params, img, ref_feats):
@@ -139,9 +181,6 @@ def main(config_name="r50_fpn_slotvps"):
                     + p.labels.sum() + p.scores.sum().astype(jnp.int32)
                     + p.embeddings.sum().astype(jnp.int32) for p in posts)
         return cur_feats, posts, probe
-
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)), jnp.float32)
 
     @jax.jit
     def _extract(params, img):
@@ -185,13 +224,31 @@ def main(config_name="r50_fpn_slotvps"):
     except Exception as e:  # pragma: no cover
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
 
+    # production-regime evidence: how many slots actually survived the
+    # keep rule / mask removal / area filter in the measured steps
+    n_kept = np.asarray(jnp.stack([p.n_kept for p in out]))
+    n_things = np.asarray(jnp.stack([p.n_things for p in out]))
+    regime = {
+        "calibrated": calib_info.get("enabled", False),
+        "n_kept_mean": round(float(n_kept.mean()), 2),
+        "n_kept_max": int(n_kept.max()),
+        "n_things_mean": round(float(n_things.mean()), 2),
+        "n_things_max": int(n_things.max()),
+    }
+    if calib_info.get("enabled"):
+        regime["calib_scale"] = round(calib_info["scale"], 3)
+        regime["n_valid_probe"] = calib_info["n_valid_probe"]
+    print(f"# regime: {regime}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"VPS frames/sec/chip at 1024x2048 ({config_name}, "
                   "full step incl. on-device panoptic postproc; "
-                  f"{BATCH}-video data-parallel batch)",
+                  f"{BATCH}-video data-parallel batch; calibrated "
+                  "production detection regime)",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "regime": regime,
     }))
 
 
