@@ -148,14 +148,28 @@ def main(argv=None):
                        __import__("jax").tree.leaves(params))
         print(f"Model Params : {n_params / 1e6:.2f} M")
 
-        if args.checkpoint and args.checkpoint.endswith(".pth"):
-            # converted checkpoints: measure the offsets the trained
+        if args.checkpoint:
+            # trained checkpoints (any format): measure the offsets the
             # conv_offset heads emit and widen the DCN sampling halo if
-            # they would clamp (the reference CUDA kernel is unbounded)
+            # they would clamp (the reference CUDA kernel is unbounded).
+            # Calibrate on REAL frames at eval resolution — offsets are
+            # input-dependent, so a toy random image under-estimates —
+            # and check_dcn_halo pads the measurement with a safety
+            # margin for the frames it did not see.
             import dataclasses
 
+            import jax.numpy as jnp
+
+            from slotvps_tpu.inference import _device_normalize
             from slotvps_tpu.utils.diagnostics import check_dcn_halo
-            mx, eff, rec = check_dcn_halo(params, cfg.model, warn=False)
+            calib_frames = []
+            for i in {0, len(dataset) // 2, len(dataset) - 1}:
+                item = dataset[i]
+                calib_frames.append(_device_normalize(
+                    jnp.asarray(item["img"])[None], cfg.data,
+                    valid_hw=item["meta"]["img_shape"][:2]))
+            mx, eff, rec = check_dcn_halo(params, cfg.model, warn=False,
+                                          images=calib_frames)
             print(f"DCN offsets: checkpoint emits up to {mx:.2f} px "
                   f"(per-level halos in effect: {eff} px)")
             if rec != eff:

@@ -240,6 +240,10 @@ class ModelConfig:
                 f"proposal_num={self.proposal_num} > 127 is not supported "
                 "with apply_mask_removal (int8 ownership maps in the "
                 "postprocessor claim scan)")
+        if self.postprocess.detect_capacity < 0:
+            raise ValueError(
+                f"detect_capacity={self.postprocess.detect_capacity} must "
+                "be >= 0 (0 disables the valid-prefix fast path)")
 
     @property
     def num_classes(self) -> int:

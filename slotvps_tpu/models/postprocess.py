@@ -295,8 +295,8 @@ def postprocess_frame(
     is_thing = classes > cfg.num_stuff - 1
 
     if fused_ok:
-        cap = getattr(cfg, "detect_capacity", 0)
-        if cap and 0 < cap < k:
+        cap = cfg.detect_capacity
+        if 0 < cap < k:
             # every valid slot sits in the permutation's prefix (stuff
             # desc, things desc, invalid — _slot_order), so when at most
             # ``cap`` slots are valid the whole fused pipeline can run on

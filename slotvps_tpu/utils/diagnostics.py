@@ -31,14 +31,20 @@ def effective_halo(sh_cfg) -> Tuple[int, ...]:
 
 
 def measure_max_dcn_offset(params, cfg, image=None, hw=(256, 512),
-                           seed: int = 0) -> np.ndarray:
+                           seed: int = 0, images=None) -> np.ndarray:
     """Per-level max |offset| component any semantic-tower DCN block emits
-    on a calibration image (random-normal by default; pass a real
-    normalized [1, H, W, 3] image for a tighter estimate).
+    on calibration input(s).
+
+    Offsets are input-dependent, so calibrate on what eval will actually
+    see: pass ``images`` — a sequence of real normalized [1, H, W, 3]
+    frames at eval resolution — whenever frames are available
+    (cli/test_eval_vpq.py does).  The random-normal ``hw`` fallback is a
+    coarse lower estimate only; callers relying on it must pad the
+    recommendation (see ``check_dcn_halo``'s margin).
 
     Walks backbone -> FPN -> each tower block per level, collecting the
     offset-conv outputs before the deformable convs consume them.
-    Returns [num_levels] f32 (P2..P5 order)."""
+    Returns [num_levels] f32 (P2..P5 order), max over all inputs."""
     import jax
     import jax.numpy as jnp
 
@@ -46,9 +52,12 @@ def measure_max_dcn_offset(params, cfg, image=None, hw=(256, 512),
     from slotvps_tpu.models.detector import apply_backbone
     from slotvps_tpu.models.fpn import apply_fpn
 
-    if image is None:
-        rng = np.random.default_rng(seed)
-        image = jnp.asarray(rng.standard_normal((1, *hw, 3)), jnp.float32)
+    if images is None:
+        if image is None:
+            rng = np.random.default_rng(seed)
+            image = jnp.asarray(rng.standard_normal((1, *hw, 3)),
+                                jnp.float32)
+        images = [image]
 
     sh = cfg.semantic_head
 
@@ -71,23 +80,32 @@ def measure_max_dcn_offset(params, cfg, image=None, hw=(256, 512),
             maxima.append(jnp.stack(lvl_max).max())
         return jnp.stack(maxima)
 
-    return np.asarray(run(params, image))
+    out = np.stack([np.asarray(run(params, im)) for im in images])
+    return out.max(axis=0)
 
 
-def check_dcn_halo(params, cfg, image=None, warn: bool = True
+def check_dcn_halo(params, cfg, image=None, warn: bool = True,
+                   images=None, margin: float = 1.25
                    ) -> tuple[float, Tuple[int, ...], Tuple[int, ...]]:
     """Measure the checkpoint's per-level offset range vs the configured
     halos.
 
+    Offsets are input-dependent, so the recommendation pads the measured
+    maximum by ``margin`` (default 25%) before comparing with the halo in
+    effect: frames the calibration did not see can emit larger offsets
+    than the ones it did.  Pass real eval-resolution frames via
+    ``images`` for the tightest honest estimate.
+
     Returns ``(max_offset, halos_in_effect, recommended_halos)`` — all
     per-level tuples except ``max_offset`` (the global max, for the log
     line).  ``recommended_halos[l] >= halos_in_effect[l]`` only where the
-    measured offsets at level l would clamp.  Callers
+    margin-padded measured offsets at level l would clamp.  Callers
     (cli/test_eval_vpq.py) auto-raise ``semantic_head.dcn_halo`` to the
     recommendation."""
     eff = effective_halo(cfg.semantic_head)
-    mx = measure_max_dcn_offset(params, cfg, image=image)
-    rec = tuple(max(e, int(np.ceil(m))) for e, m in zip(eff, mx))
+    mx = measure_max_dcn_offset(params, cfg, image=image, images=images)
+    rec = tuple(max(e, int(np.ceil(margin * m)))
+                for e, m in zip(eff, mx))
     if warn and rec != eff:
         warnings.warn(
             f"converted conv_offset heads emit offsets up to "
