@@ -63,6 +63,16 @@ def parse_args(argv=None):
                         "DataLoader workers, loader/build_loader.py:18)")
     p.add_argument("--prefetch_batches", type=int, default=2,
                    help="per-worker look-ahead of assembled batches")
+    # train-time periodic eval (reference DistEvalHook,
+    # mmdet/core/evaluation/eval_hooks.py:20-83)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="run val VPQ every N epochs (0 = off)")
+    p.add_argument("--val_ann_file", default=None)
+    p.add_argument("--val_img_prefix", default=None)
+    p.add_argument("--val_truth_dir", default=None)
+    p.add_argument("--val_pan_gt_json_file", default=None)
+    p.add_argument("--val_max_videos", type=int, default=10,
+                   help="bound the val slice evaluated per hook firing")
     return p.parse_args(argv)
 
 
@@ -139,8 +149,19 @@ def make_sample(dataset, idx, args, cfg, rng, aug):
                                 pseudo_video=ref.pseudo_video)
 
 
-def _pad_gt(gt, gt_pids, capacity, quarter_shape, stuff_offset):
-    """Pad variable-length FrameGT to the fixed capacity at 1/4 res."""
+def _pad_gt(gt, gt_pids, capacity, quarter_shape, stuff_offset,
+            semantic_nx=None, num_stuff=11):
+    """Pad variable-length FrameGT to the fixed capacity at 1/4 res.
+
+    ``semantic_nx`` (quarter-res semantic map, 255=ignore) additionally
+    appends one STUFF slot per present stuff class (ids < num_stuff).
+    Without stuff slots the slot head only ever learns things, and at
+    inference the panoptic argmax hands every background pixel to the
+    nearest thing — whose ballooned region then fails the fusion stage's
+    semantic majority vote (eval/fusion.py), dropping the instance.
+    MaX-DeepLab-style slot training supervises stuff regions as slots for
+    exactly this reason (the reference's 19-class loss space counts
+    labels 0..10 as stuff)."""
     import cv2
 
     g = capacity
@@ -158,6 +179,14 @@ def _pad_gt(gt, gt_pids, capacity, quarter_shape, stuff_offset):
         if gt_pids is not None:
             pid = int(gt_pids[i])
             pids[i] = pid if pid <= g else 0
+    if semantic_nx is not None:
+        for cls in [c for c in np.unique(semantic_nx) if c < num_stuff]:
+            if n >= g:
+                break
+            labels[n] = int(cls)
+            masks[n] = (semantic_nx == cls).astype(np.float32)
+            valid[n] = True
+            n += 1
     return labels, masks, valid, pids
 
 
@@ -178,14 +207,19 @@ def make_batch(dataset, indices, args, cfg, rng, aug):
             idx = int(rng.integers(0, len(dataset)))
         if out is None:
             raise RuntimeError("could not sample a valid training clip")
-        labels, masks, valid, pids = _pad_gt(
-            out["gt"], out["gt_pids"], args.gt_capacity, (qh, qw),
-            stuff_offset)
-        rlabels, rmasks, rvalid, _ = _pad_gt(
-            out["ref_gt"], None, args.gt_capacity, (qh, qw), stuff_offset)
         sem = out["gt_semantic_seg_nx"]
         if sem is None:
             sem = np.full((qh, qw), 255, np.int32)
+        n_stuff = cfg.model.stuff_num - 1  # 11 stuff classes (0..10)
+        labels, masks, valid, pids = _pad_gt(
+            out["gt"], out["gt_pids"], args.gt_capacity, (qh, qw),
+            stuff_offset, semantic_nx=sem, num_stuff=n_stuff)
+        ref_sem = out.get("ref_semantic_seg")
+        rlabels, rmasks, rvalid, _ = _pad_gt(
+            out["ref_gt"], None, args.gt_capacity, (qh, qw), stuff_offset,
+            # nearest-subsample to the mask grid (seg_nx equivalent)
+            semantic_nx=None if ref_sem is None else ref_sem[::4, ::4],
+            num_stuff=n_stuff)
         cols["img"].append(out["img"])
         cols["ref_img"].append(out["ref_img"])
         cols["gt_labels"].append(labels)
@@ -246,9 +280,21 @@ def main(argv=None):
     aug = TrainAugConfig(crop_size=tuple(args.crop))
     n_dev = jax.device_count()
     batch = args.batch_per_device * n_dev
-    steps_per_epoch = max(len(dataset) // batch, 1)
+    # aspect-ratio group sampling (reference GroupSampler,
+    # datasets/loader/sampler.py:37-73): each batch draws from one
+    # orientation group so the padded static shape fits tight; groups are
+    # padded to whole batches, so steps/epoch comes from the sampled
+    # order, not len(dataset)
+    from slotvps_tpu.data.sampler import (aspect_ratio_flags,
+                                          group_shuffled_indices)
+    flags = np.tile(aspect_ratio_flags(dataset.img_infos),
+                    args.repeat_times)
+    steps_per_epoch = max(
+        len(group_shuffled_indices(flags, batch,
+                                   np.random.default_rng(0))) // batch, 1)
     print(f"dataset: {len(dataset)} frames (x{args.repeat_times} repeat), "
-          f"{n_dev} devices, batch {batch}, {steps_per_epoch} steps/epoch")
+          f"{n_dev} devices, batch {batch}, {steps_per_epoch} steps/epoch, "
+          f"aspect groups {np.bincount(flags).tolist()}")
 
     params = init_model(jax.random.PRNGKey(args.seed), cfg.model)
     print(f"Model Params : {params_to_string(count_params(params))}")
@@ -282,8 +328,8 @@ def main(argv=None):
         # per-epoch/per-step derived rngs: deterministic under resume AND
         # under parallel batch assembly (each step's sampling is
         # independent of worker scheduling)
-        order = np.random.default_rng((args.seed, epoch)).permutation(
-            len(dataset))
+        order = group_shuffled_indices(
+            flags, batch, np.random.default_rng((args.seed, epoch)))
 
         def build(s):
             srng = np.random.default_rng((args.seed, epoch, int(s)))
@@ -316,6 +362,24 @@ def main(argv=None):
         save_train_state(os.path.join(args.work_dir,
                                       f"epoch_{epoch + 1}"),
                          params, opt_state, it)
+        if (args.eval_every and (epoch + 1) % args.eval_every == 0
+                and args.val_ann_file):
+            # periodic val VPQ with the live params (reference
+            # DistEvalHook, eval_hooks.py:20-83)
+            from slotvps_tpu.eval.hooks import run_val_eval
+
+            te = time.time()
+            summary = run_val_eval(
+                params, cfg, args.val_ann_file, args.val_img_prefix,
+                args.val_truth_dir, args.val_pan_gt_json_file,
+                output_dir=os.path.join(args.work_dir,
+                                        f"val_epoch_{epoch + 1}"),
+                max_videos=args.val_max_videos)
+            print(f"[eval] epoch {epoch + 1}: "
+                  f"vpq_all={summary['vpq_all']:.2f} "
+                  f"vpq_thing={summary['vpq_thing']:.2f} "
+                  f"vpq_stuff={summary['vpq_stuff']:.2f} "
+                  f"({time.time() - te:.0f}s)")
     print("done")
 
 
