@@ -160,6 +160,34 @@ def main():
                     print(f"postproc impl=fused quarter-fcn (sseg_v3): "
                           f"{dtq*1e3:.2f} ms/frame", flush=True)
 
+    if "regime" in sections:
+        # postproc cost vs detection count: logits constructed so exactly
+        # N slots clear the production 0.85 keep rule (the calibrated
+        # bench regime), quarter-res fcn (fused_sseg path)
+        from slotvps_tpu.config import PostprocessConfig
+        from slotvps_tpu.models.postprocess import postprocess_frame
+        H, W, K, D = 1024, 2048, 100, 128
+        h, w = H // 4, W // 4
+        masks = jnp.asarray(rng.standard_normal((K, h, w)), jnp.float32)
+        embeds = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+        fcn_q = jnp.asarray(rng.standard_normal((h, w, 19)), jnp.float32)
+        cfg = PostprocessConfig(threshold=0.85, impl="fused")
+        f = jax.jit(lambda a, b, c, d: postprocess_frame(
+            a, b, c, d, (H, W), cfg))
+        for n_valid in (0, 6, 12, 24, 48):
+            lg = np.full((K, 20), 0.0, np.float32)
+            lg[:, 19] = 8.0                      # no-obj wins by default
+            cls = rng.integers(0, 19, (K,))
+            lg[np.arange(n_valid), 19] = 0.0
+            lg[np.arange(n_valid), cls[:n_valid]] = 8.0  # conf ~1.0
+            logits = jnp.asarray(lg)
+            dt = timeit(f, logits, masks, embeds, fcn_q,
+                        probe=lambda o: o.panoptic)
+            out = f(logits, masks, embeds, fcn_q)
+            print(f"postproc fused 0.85 n_valid={n_valid}: "
+                  f"{dt*1e3:.2f} ms/frame (kept={int(out.n_kept)} "
+                  f"things={int(out.n_things)})", flush=True)
+
     if "kern3" in sections:
         from slotvps_tpu.ops.pallas.postproc_v3 import (
             argmax_v3, claim_v3, theta_v3)

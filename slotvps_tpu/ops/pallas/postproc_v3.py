@@ -111,6 +111,20 @@ def _col_phase(pc, prev, cent, next_):
     return v
 
 
+def _row_phases_block(rows, pr, hb):
+    """Batched-row variant of :func:`_row_phases`: row-interpolate ALL
+    ``hb`` low-res rows of the block for one row phase in one 3-D op
+    chain.  rows: [kp, hb+2(+pad), wpad] -> [kp, hb, wpad]."""
+    wp, wn = _W_PREV[pr], _W_NEXT[pr]
+    cent = rows[:, 1:hb + 1, :]
+    rv = (1.0 - wp - wn) * cent
+    if wp:
+        rv = rv + wp * rows[:, 0:hb, :]
+    if wn:
+        rv = rv + wn * rows[:, 2:hb + 2, :]
+    return rv
+
+
 def _theta_kernel(valid_ref, m_hbm, o_ref, rows, sem, *, hb, w, kp,
                   log_thr):
     t = pl.program_id(0)
@@ -120,6 +134,9 @@ def _theta_kernel(valid_ref, m_hbm, o_ref, rows, sem, *, hb, w, kp,
     cp.start()
     cp.wait()
     valid = valid_ref[:, 0][:, None] != 0                 # [kp, 1]
+    # per-output-row form: at the full kp=104 slot capacity the batched
+    # [kp, hb, w] variant spills vector registers and measures ~12%
+    # SLOWER (batched-row pays off only at small kp — see _sseg_kernel)
     for li in range(hb):
         for pr, (prev, cent, next_) in enumerate(_row_phases(rows, li, w)):
             for pc in range(4):
@@ -293,6 +310,8 @@ def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, mid2_ref, areas_ref,
     is_thing = meta_ref[:, 1:2] != 0                  # [kp, 1]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
     acc = areas[:]
+    # per-output-row form: the batched [kp, hb, w] variant measured ~14%
+    # slower at kp=104 (register spills) — see _theta_kernel note
     for li in range(hb):
         for pr, (prev, cent, next_) in enumerate(_row_phases(rows, li, w)):
             for pc in range(4):
@@ -385,18 +404,25 @@ def _sseg_kernel(m_hbm, o_ref, rows, sem, *, hb, w, kp, c):
         m_hbm.at[:, pl.ds(t * hb, hb + 8), :], rows, sem)
     cp.start()
     cp.wait()
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1, 1), 0)
     # zero-padded channels [c, kp) must not win over all-negative logits
     valid = kiota < c
-    for li in range(hb):
-        for pr, (prev, cent, next_) in enumerate(_row_phases(rows, li, w)):
-            for pc in range(4):
-                vals = _col_phase(pc, prev, cent, next_)   # [kp, w]
-                vals = jnp.where(valid, vals, _NEG)
-                mx = jnp.max(vals, axis=0, keepdims=True)
-                m_id = jnp.min(jnp.where(vals >= mx, kiota, 2 ** 30),
-                               axis=0, keepdims=True)
-                o_ref[pr, pc, li, :] = m_id[0]
+    # batched-row formulation: one [kp, hb, w] op chain per phase (16
+    # iterations) instead of per-output-row [kp, w] chains (16*hb) —
+    # 4.47 -> 3.21 ms at 1024x2048 on v5e.  Only pays off at SMALL kp
+    # (19 channels pad to 24 sublanes); at the kp=104 slot capacity the
+    # 3-D working set spills vector registers and the same rewrite
+    # measured ~12-14% slower, so theta/argmax keep the per-row form.
+    for pr in range(4):
+        rv = _row_phases_block(rows, pr, hb)               # [kp, hb, wpad]
+        for pc in range(4):
+            vals = _col_phase(pc, rv[:, :, 0:w], rv[:, :, 1:w + 1],
+                              rv[:, :, 2:w + 2])           # [kp, hb, w]
+            vals = jnp.where(valid, vals, _NEG)
+            mx = jnp.max(vals, axis=0, keepdims=True)      # [1, hb, w]
+            m_id = jnp.min(jnp.where(vals >= mx, kiota, 2 ** 30),
+                           axis=0)                         # [hb, w]
+            o_ref[pr, pc] = m_id
 
 
 def sseg_v3(score_chw, hb=8):
