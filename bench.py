@@ -142,7 +142,10 @@ def main(config_name="r50_fpn_slotvps"):
             calibrate_class_head, doctor_params)
 
         target = int(os.environ.get("BENCH_TARGET_VALID", "48"))
-        params = doctor_params(params, jax.random.PRNGKey(1))
+        fg_scale = float(os.environ.get("BENCH_FG_SCALE", "2.0"))
+        noise_std = float(os.environ.get("BENCH_CLS_NOISE", "0.3"))
+        params = doctor_params(params, jax.random.PRNGKey(1),
+                               fg_scale=fg_scale)
 
         @jax.jit
         def _probe(params, img1):
@@ -156,7 +159,8 @@ def main(config_name="r50_fpn_slotvps"):
         probe_logits = _probe(params, img[:1, ::4, ::4])
         params, calib_info = calibrate_class_head(
             params, probe_logits, jax.random.PRNGKey(2),
-            target_valid=target, threshold=cfg.postprocess.threshold)
+            target_valid=target, threshold=cfg.postprocess.threshold,
+            noise_std=noise_std)
         calib_info["enabled"] = True
         print(f"# calib: scale {calib_info['scale']:.3f}, "
               f"{calib_info['n_valid_probe']} slots clear "
@@ -174,13 +178,19 @@ def main(config_name="r50_fpn_slotvps"):
             outs.pred_logits[i], outs.pred_masks[i], outs.embeddings[i],
             outs.fcn_output[i], (H, W), cfg.postprocess)
             for i in range(BATCH)]
+        # regime diagnostic: slots clearing the keep rule BEFORE mask
+        # removal / area filtering (distinguishes "calibration missed at
+        # full res" from "mask removal rejected them")
+        probs = jax.nn.softmax(outs.pred_logits.astype(jnp.float32), -1)
+        n_valid = ((probs.argmax(-1) != cfg.postprocess.num_classes - 1)
+                   & (probs.max(-1) > cfg.postprocess.threshold)).sum(-1)
         # scalar checksum over every output: reading it back forces the
         # whole step to complete (block_until_ready is async on the
         # tunneled axon platform, so a readback is the only real fence)
         probe = sum(p.panoptic.sum() + p.sseg.sum() + p.kept.sum()
                     + p.labels.sum() + p.scores.sum().astype(jnp.int32)
                     + p.embeddings.sum().astype(jnp.int32) for p in posts)
-        return cur_feats, posts, probe
+        return cur_feats, posts, n_valid, probe
 
     @jax.jit
     def _extract(params, img):
@@ -189,7 +199,7 @@ def main(config_name="r50_fpn_slotvps"):
     ref_feats = _extract(params, img)
 
     for _ in range(WARMUP):
-        ref_feats, out, probe = frame_step(params, img, ref_feats)
+        ref_feats, out, n_valid, probe = frame_step(params, img, ref_feats)
     _ = np.asarray(probe)  # fence
 
     trace_dir = os.environ.get("BENCH_TRACE", "")
@@ -197,14 +207,14 @@ def main(config_name="r50_fpn_slotvps"):
         # XLA profiler trace of 2 steps (inspect op-level MXU/VPU time with
         # tensorboard-profile or the trace-event json under <dir>)
         with jax.profiler.trace(trace_dir):
-            ref_feats, out, probe = frame_step(params, img, ref_feats)
-            ref_feats, out, probe = frame_step(params, img, ref_feats)
+            ref_feats, out, n_valid, probe = frame_step(params, img, ref_feats)
+            ref_feats, out, n_valid, probe = frame_step(params, img, ref_feats)
             _ = np.asarray(probe)
         print(f"# trace written to {trace_dir}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        ref_feats, out, probe = frame_step(params, img, ref_feats)
+        ref_feats, out, n_valid, probe = frame_step(params, img, ref_feats)
     _ = np.asarray(probe)  # fence
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -228,8 +238,10 @@ def main(config_name="r50_fpn_slotvps"):
     # keep rule / mask removal / area filter in the measured steps
     n_kept = np.asarray(jnp.stack([p.n_kept for p in out]))
     n_things = np.asarray(jnp.stack([p.n_things for p in out]))
+    n_valid_full = np.asarray(n_valid)
     regime = {
         "calibrated": calib_info.get("enabled", False),
+        "n_valid_mean": round(float(n_valid_full.mean()), 2),
         "n_kept_mean": round(float(n_kept.mean()), 2),
         "n_kept_max": int(n_kept.max()),
         "n_things_mean": round(float(n_things.mean()), 2),

@@ -299,31 +299,43 @@ def postprocess_frame(
         if 0 < cap < k:
             # every valid slot sits in the permutation's prefix (stuff
             # desc, things desc, invalid — _slot_order), so when at most
-            # ``cap`` slots are valid the whole fused pipeline can run on
-            # the first ``cap`` slots with bit-identical results; the
-            # cond's other branch is the exact full-capacity pipeline
-            def _sliced(_):
-                r = _postprocess_fused(
-                    masks[:cap], scores[:cap], classes[:cap], valid[:cap],
-                    embeds[:cap], is_thing[:cap], fcn_output, cfg)
-                pad = k - cap
-                return PostprocResult(
-                    kept=jnp.concatenate(
-                        [r.kept, jnp.zeros((pad,), bool)]),
-                    is_thing=is_thing, labels=classes, scores=scores,
-                    embeddings=embeds,
-                    thing_rank=jnp.concatenate(
-                        [r.thing_rank, jnp.full((pad,), -1, jnp.int32)]),
-                    panoptic=r.panoptic, sseg=r.sseg,
-                    n_kept=r.n_kept, n_things=r.n_things)
+            # ``c`` slots are valid the whole fused pipeline can run on
+            # the first ``c`` slots with bit-identical results.  TIERED
+            # ladder: the fixed passes (theta, argmax/top-2, hist) scale
+            # linearly with the prefix, so a typical production frame
+            # (10-40 valid at threshold 0.85) takes the half-capacity
+            # branch; the final fallback is the exact full pipeline.
+            def _sliced(c):
+                def run(_):
+                    r = _postprocess_fused(
+                        masks[:c], scores[:c], classes[:c], valid[:c],
+                        embeds[:c], is_thing[:c], fcn_output, cfg)
+                    pad = k - c
+                    return PostprocResult(
+                        kept=jnp.concatenate(
+                            [r.kept, jnp.zeros((pad,), bool)]),
+                        is_thing=is_thing, labels=classes, scores=scores,
+                        embeddings=embeds,
+                        thing_rank=jnp.concatenate(
+                            [r.thing_rank, jnp.full((pad,), -1,
+                                                    jnp.int32)]),
+                        panoptic=r.panoptic, sseg=r.sseg,
+                        n_kept=r.n_kept, n_things=r.n_things)
+                return run
 
             def _full(_):
                 return _postprocess_fused(masks, scores, classes, valid,
                                           embeds, is_thing, fcn_output,
                                           cfg)
 
-            return jax.lax.cond(
-                valid.sum() <= cap, _sliced, _full, None)
+            n_valid = valid.sum()
+            half = cap // 2
+            if half >= 8:
+                return jax.lax.cond(n_valid <= half, _sliced(half),
+                                    lambda _: jax.lax.cond(
+                                        n_valid <= cap, _sliced(cap),
+                                        _full, None), None)
+            return jax.lax.cond(n_valid <= cap, _sliced(cap), _full, None)
         return _postprocess_fused(masks, scores, classes, valid,
                                   embeds, is_thing, fcn_output, cfg)
     masks_hwk = masks.transpose(1, 2, 0)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def doctor_params(params: Dict, key, offset_range: float = 1.5) -> Dict:
+def doctor_params(params: Dict, key, offset_range: float = 1.5,
+                  fg_scale: float = 2.0, fg_var: float = 0.01) -> Dict:
     """Return a copy of ``params`` doctored into a rich mask regime.
 
     ``offset_range`` bounds the per-tap DCN offset biases (pixels); keep
@@ -56,9 +57,9 @@ def doctor_params(params: Dict, key, offset_range: float = 1.5) -> Dict:
     #    the per-pixel softmax over slots binarizes, so claim/area passes
     #    operate on real pixel sets instead of uniform mush
     params["fg_bn"] = dict(params["fg_bn"],
-                           scale=jnp.full((1,), 2.0, jnp.float32),
+                           scale=jnp.full((1,), fg_scale, jnp.float32),
                            mean=jnp.zeros((1,), jnp.float32),
-                           var=jnp.full((1,), 0.01, jnp.float32))
+                           var=jnp.full((1,), fg_var, jnp.float32))
 
     # 3. bias-driven DCN offsets: zero-init offset convs emit exactly
     #    zero displacement (integer sampling only); trained heads emit
@@ -88,6 +89,7 @@ def calibrate_class_head(
     key,
     target_valid: int = 48,
     threshold: float = 0.85,
+    noise_std: float = 0.3,
 ) -> Tuple[Dict, dict]:
     """Rescale the last decoder stage's class head so ~``target_valid``
     slots clear the keep rule on the probe input.
@@ -101,7 +103,7 @@ def calibrate_class_head(
     """
     logits = np.asarray(final_logits, np.float64)
     mean = logits.mean(axis=0, keepdims=True)
-    noise = 0.3 * np.asarray(
+    noise = noise_std * np.asarray(
         jax.random.normal(key, (logits.shape[1],)), np.float64)
     centered = (logits - mean) + noise
     no_obj = logits.shape[1] - 1

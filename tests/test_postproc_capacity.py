@@ -109,3 +109,21 @@ def _n_valid(logits, cfg):
     scores, classes = p.max(-1), p.argmax(-1)
     return int(((classes != cfg.num_classes - 1)
                 & (scores > cfg.threshold)).sum())
+
+
+def test_capacity_half_tier_exact():
+    """The tiered ladder's HALF-capacity branch (n_valid <= cap//2) must
+    be bit-identical too — a typical production frame (10-40 valid of
+    100) takes this branch."""
+    rng = np.random.default_rng(5)
+    args, out_size, cfg = _case(rng, thr=0.6)
+    n_valid = _n_valid(args[0], cfg)
+    if n_valid == 0:
+        pytest.skip("seed kept nothing")
+    cap = int(2 * n_valid) + 2  # half = n_valid+1 > n_valid => half tier
+    assert n_valid <= cap // 2
+    ref = postprocess_frame(*args, out_size, cfg)
+    with _interpret_ctx():
+        capped = postprocess_frame(*args, out_size, dataclasses.replace(
+            cfg, impl="fused", detect_capacity=cap))
+    _assert_same(capped, ref)
