@@ -238,6 +238,7 @@ def main(config_name="r50_fpn_slotvps"):
     # keep rule / mask removal / area filter in the measured steps
     n_kept = np.asarray(jnp.stack([p.n_kept for p in out]))
     n_things = np.asarray(jnp.stack([p.n_things for p in out]))
+    n_loop = np.asarray(jnp.stack([p.n_loop for p in out]))
     n_valid_full = np.asarray(n_valid)
     regime = {
         "calibrated": calib_info.get("enabled", False),
@@ -246,6 +247,8 @@ def main(config_name="r50_fpn_slotvps"):
         "n_kept_max": int(n_kept.max()),
         "n_things_mean": round(float(n_things.mean()), 2),
         "n_things_max": int(n_things.max()),
+        "n_loop_mean": round(float(n_loop.mean()), 2),
+        "n_loop_max": int(n_loop.max()),
     }
     if calib_info.get("enabled"):
         regime["calib_scale"] = round(calib_info["scale"], 3)

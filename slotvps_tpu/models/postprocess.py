@@ -56,6 +56,8 @@ class PostprocResult(NamedTuple):
     sseg: jnp.ndarray         # [H, W] int32 semantic argmax
     n_kept: jnp.ndarray       # [] int32
     n_things: jnp.ndarray     # [] int32
+    n_loop: jnp.ndarray       # [] int32 small-area-filter iterations run
+    #                           (regime diagnostic, VERDICT r3 ask #1)
 
 
 def _slot_order(scores, classes, cfg: PostprocessConfig):
@@ -139,7 +141,8 @@ def _argmax_pass(final_vals_hwk, kept, dedup, labels, is_thing):
     return m_id, areas
 
 
-def _finish(kept, m_id, classes, scores, embeds, is_thing, sseg, cfg):
+def _finish(kept, m_id, classes, scores, embeds, is_thing, sseg, cfg,
+            n_loop=0):
     """Panoptic id remap + result assembly (shared by all impls)."""
     kept_thing = kept & is_thing
     thing_rank = jnp.where(kept_thing,
@@ -153,7 +156,8 @@ def _finish(kept, m_id, classes, scores, embeds, is_thing, sseg, cfg):
         embeddings=embeds, thing_rank=thing_rank.astype(jnp.int32),
         panoptic=panoptic, sseg=sseg,
         n_kept=kept.sum().astype(jnp.int32),
-        n_things=kept_thing.sum().astype(jnp.int32))
+        n_things=kept_thing.sum().astype(jnp.int32),
+        n_loop=jnp.asarray(n_loop, jnp.int32))
 
 
 def _small_fn(cfg: PostprocessConfig):
@@ -180,7 +184,7 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
     which case the x4 upsample + argmax run fused in one kernel and the
     full-res 19-channel logits never exist."""
     from slotvps_tpu.ops.pallas.postproc_v3 import (
-        argmax_v3, claim_v3, from_blocked, hist_v3, sseg_v3, theta_v3)
+        argmax_v3, claim_v3, from_blocked, repair_v3, sseg_v3, theta_v3)
 
     if not cfg.apply_mask_removal_only_ins:
         raise NotImplementedError(
@@ -196,56 +200,45 @@ def _postprocess_fused(masks_khw, scores, classes, valid, embeds, is_thing,
     kept = jnp.where(is_thing, keep_things, valid)
     small = _small_fn(cfg)
     k = classes.shape[0]
-    kp = -(-k // 8) * 8  # argmax_v3's padded slot count; kp is the
-    # "runner-up unknown" sentinel (kept_ext[kp] is always False)
+    kp = -(-k // 8) * 8
 
-    # First pass emits per-pixel top-2 so the small-area filter loop can
-    # PATCH pixels of removed slots instead of recomputing the full-res
-    # argmax (reference :762-790 recomputes; removing slots only changes
-    # pixels whose winner was removed, and their new winner is the stored
-    # runner-up whenever that runner-up is still kept — else fall back to
-    # the exact full pass).
-    m1_b, m2_b, areas = argmax_v3(masks_khw, owner_b, kept, is_thing,
-                                  top2=True)
+    # First pass also emits PER-TILE per-slot pixel counts: each
+    # small-area-filter iteration then recomputes the argmax only on
+    # row-tiles actually containing pixels of the removed slots
+    # (ops/pallas/postproc_v3.repair_v3) — removed segments are tiny by
+    # definition, so a production iteration touches ~1-2 tiles and costs
+    # an id-map copy, not a full [K, H, W] recompute (reference :762-790
+    # recomputes in full; removals only change pixels whose winner was
+    # removed, so clean tiles are exact copies).
+    m1_b, areas_t = argmax_v3(masks_khw, owner_b, kept, is_thing,
+                              per_tile=True)               # [T, kp]
     dmap = _dedup_map(classes, is_thing, kept)
-    m_cur_b = dmap[m1_b]
+    m_disp = dmap[m1_b]
     fold = (dmap[None, :] == jnp.arange(k)[:, None]).astype(jnp.int32)
-    areas = jnp.where(kept, fold @ areas, 0)
+    areas = jnp.where(kept, fold @ areas_t.sum(0)[:k], 0)
 
     def cond(state):
-        kept_, _, _, _, areas_ = state
+        kept_, _, _, _, areas_, _ = state
         return jnp.any(kept_ & small(areas_, classes)) & jnp.any(kept_)
 
     def body(state):
-        kept_, _, m1, m2, areas_ = state
-        kept_n = kept_ & ~small(areas_, classes)
-        kept_ext = jnp.concatenate(
-            [kept_n, jnp.zeros((kp + 1 - k,), bool)])
-        need2 = ~kept_ext[m1]
-        w_new = jnp.where(need2, m2, m1)
-        need_full = jnp.any(need2 & ~kept_ext[w_new])
+        kept_, _, m1, areas_t_, areas_, n_loop = state
+        removed = kept_ & small(areas_, classes)
+        kept_n = kept_ & ~removed
+        removed_p = jnp.pad(removed, (0, kp - k))
+        # dirty row-tiles: those with pixels whose RAW winner was removed
+        dirty = ((areas_t_ > 0) & removed_p[None, :]).any(-1)   # [T]
+        m1n, areas_tn = repair_v3(masks_khw, owner_b, m1, kept_n,
+                                  is_thing, dirty, areas_t_)
+        areas_n = jnp.where(kept_n, areas_tn.sum(0)[:k], 0)
+        # after any iteration the display map is the RAW winner map (the
+        # exact path's loop recomputes with dedup=False, :399-404)
+        return kept_n, m1n, m1n, areas_tn, areas_n, n_loop + 1
 
-        def full(_):
-            m1n, m2n, areasn = argmax_v3(masks_khw, owner_b, kept_n,
-                                         is_thing, top2=True)
-            return m1n, m1n, m2n, jnp.where(kept_n, areasn, 0)
-
-        def patch(_):
-            # the patched pixel's runner-up is now unknown (3rd best):
-            # sentinel kp forces a full pass if its new winner is ever
-            # removed too
-            m2n = jnp.where(need2, jnp.int32(kp), m2)
-            areasn = jnp.where(kept_n, hist_v3(w_new, k), 0)
-            return w_new, w_new, m2n, areasn
-
-        m_cur_n, m1n, m2n, areasn = jax.lax.cond(
-            need_full, full, patch, None)
-        return kept_n, m_cur_n, m1n, m2n, areasn
-
-    kept, m_cur_b, _, _, areas = jax.lax.while_loop(
-        cond, body, (kept, m_cur_b, m1_b, m2_b, areas))
-    return _finish(kept, from_blocked(m_cur_b), classes, scores, embeds,
-                   is_thing, sseg, cfg)
+    kept, m_disp, _, _, areas, n_loop = jax.lax.while_loop(
+        cond, body, (kept, m_disp, m1_b, areas_t, areas, jnp.int32(0)))
+    return _finish(kept, from_blocked(m_disp), classes, scores, embeds,
+                   is_thing, sseg, cfg, n_loop=n_loop)
 
 
 def postprocess_frame(
@@ -320,7 +313,8 @@ def postprocess_frame(
                             [r.thing_rank, jnp.full((pad,), -1,
                                                     jnp.int32)]),
                         panoptic=r.panoptic, sseg=r.sseg,
-                        n_kept=r.n_kept, n_things=r.n_things)
+                        n_kept=r.n_kept, n_things=r.n_things,
+                        n_loop=r.n_loop)
                 return run
 
             def _full(_):
@@ -393,18 +387,19 @@ def postprocess_frame(
     m_id, areas = _argmax_pass(final_vals, kept, True, classes, is_thing)
 
     def cond(state):
-        kept_, _, areas_ = state
+        kept_, _, areas_, _ = state
         return jnp.any(kept_ & small(areas_, classes)) & jnp.any(kept_)
 
     def body(state):
-        kept_, _, areas_ = state
+        kept_, _, areas_, n_loop = state
         kept_ = kept_ & ~small(areas_, classes)
         m_id_, areas_ = _argmax_pass(final_vals, kept_, False, classes,
                                      is_thing)
-        return kept_, m_id_, areas_
+        return kept_, m_id_, areas_, n_loop + 1
 
-    kept, m_id, areas = jax.lax.while_loop(cond, body, (kept, m_id, areas))
+    kept, m_id, areas, n_loop = jax.lax.while_loop(
+        cond, body, (kept, m_id, areas, jnp.int32(0)))
     # panoptic id remap (reference :414-435): thing -> stuff_num + rank
     sseg = jnp.argmax(fcn_output, axis=-1).astype(jnp.int32)
     return _finish(kept, m_id, classes, scores, embeds, is_thing,
-                   sseg, cfg)
+                   sseg, cfg, n_loop=n_loop)

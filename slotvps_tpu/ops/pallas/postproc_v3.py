@@ -293,7 +293,7 @@ def claim_v3(m_klow, theta_b, labels, is_thing, valid, fraction_threshold):
 
 
 def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, mid2_ref, areas_ref,
-                   rows, areas, sem, *, hb, w, kp, top2):
+                   rows, areas, sem, *, hb, w, kp, top2, per_tile):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     # slice length hb+8 (not hb+2): sublane slices must be 8-aligned
@@ -302,14 +302,15 @@ def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, mid2_ref, areas_ref,
     cp.start()
     cp.wait()
 
-    @pl.when(t == 0)
-    def _():
-        areas[:] = jnp.zeros((kp, w), jnp.int32)
+    if not per_tile:
+        @pl.when(t == 0)
+        def _():
+            areas[:] = jnp.zeros((kp, w), jnp.int32)
 
     kept = meta_ref[:, 0:1] != 0                      # [kp, 1]
     is_thing = meta_ref[:, 1:2] != 0                  # [kp, 1]
     kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
-    acc = areas[:]
+    acc = jnp.zeros((kp, w), jnp.int32) if per_tile else areas[:]
     # per-output-row form: the batched [kp, hb, w] variant measured ~14%
     # slower at kp=104 (register spills) — see _theta_kernel note
     for li in range(hb):
@@ -335,21 +336,29 @@ def _argmax_kernel(meta_ref, m_hbm, owner_ref, mid_ref, mid2_ref, areas_ref,
                                  axis=0, keepdims=True)
                     mid2_ref[pr, pc, li, :] = m2[0]
                 acc = acc + (m_id == kiota).astype(jnp.int32)
-    areas[:] = acc
+    if per_tile:
+        # per-tile per-slot pixel counts: the small-area filter's repair
+        # loop uses them to find the tiles a removal actually touches
+        areas_ref[0] = jnp.sum(acc, axis=1, keepdims=True)
+    else:
+        areas[:] = acc
 
-    @pl.when(t == nt - 1)
-    def _():
-        areas_ref[:] = areas[:]
+        @pl.when(t == nt - 1)
+        def _():
+            areas_ref[:] = areas[:]
 
 
-def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
+def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False,
+              per_tile=False):
     """Masked argmax + per-slot areas (reference get_ids_area).
 
     m_klow: [K, h, w] f32; owner_b: [4, 4, h, w] int8 (phase-blocked).
     Returns (m_id phase-blocked [4, 4, h, w] int32, areas [K] int32);
     with ``top2=True`` returns (m_id, m2_id, areas) where m2_id is the
     per-pixel runner-up slot (first-index tie-break, winner excluded by
-    index)."""
+    index).  With ``per_tile=True`` areas is instead [T, kp] — per
+    row-tile per-slot pixel counts (T = h/hb tiles, RAW kp padding kept)
+    for :func:`repair_v3` dirty-tile detection."""
     k, h, w = m_klow.shape
     kp = _round8(k)
     hb = math.gcd(hb, h)
@@ -358,9 +367,18 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
         jnp.pad(kept.astype(jnp.int32), (0, kp - k)),
         jnp.pad(is_thing.astype(jnp.int32), (0, kp - k)),
     ], axis=1)                                        # [kp, 2]
+    nt = h // hb
+    areas_spec = (
+        pl.BlockSpec((1, kp, 1), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM) if per_tile else
+        pl.BlockSpec((kp, w), lambda t: (0, 0), memory_space=pltpu.VMEM))
+    areas_shape = (jax.ShapeDtypeStruct((nt, kp, 1), jnp.int32)
+                   if per_tile else
+                   jax.ShapeDtypeStruct((kp, w), jnp.int32))
     m_id, m2_id, areas = pl.pallas_call(
-        functools.partial(_argmax_kernel, hb=hb, w=w, kp=kp, top2=top2),
-        grid=(h // hb,),
+        functools.partial(_argmax_kernel, hb=hb, w=w, kp=kp, top2=top2,
+                          per_tile=per_tile),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec((kp, 2), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -375,14 +393,13 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
                           memory_space=pltpu.VMEM) if top2 else
              pl.BlockSpec((4, 4, 1, 1), lambda t: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM)),
-            pl.BlockSpec((kp, w), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            areas_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),
             jax.ShapeDtypeStruct((4, 4, h, w) if top2 else (4, 4, 1, 1),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((kp, w), jnp.int32),
+            areas_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM((kp, hb + 8, _round128(w + 2)), jnp.float32),
@@ -392,10 +409,116 @@ def argmax_v3(m_klow, owner_b, kept, is_thing, hb=8, top2=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(meta, mp, owner_b.astype(jnp.int32))
-    areas = areas.sum(axis=1)[:k]
+    if per_tile:
+        areas = areas[:, :, 0]                        # [T, kp]
+    else:
+        areas = areas.sum(axis=1)[:k]
     if top2:
         return m_id, m2_id, areas
     return m_id, areas
+
+
+def _repair_kernel(meta_ref, dirty_ref, m_hbm, owner_ref, m1_ref,
+                   areas_prev_ref, mid_ref, areas_ref, rows, sem,
+                   *, hb, w, kp):
+    t = pl.program_id(0)
+    d = dirty_ref[t]
+
+    @pl.when(d == 0)
+    def _():
+        # no pixel in this tile had its winner removed: the argmax over a
+        # SUBSET that still contains the max is unchanged — copy through
+        mid_ref[:] = m1_ref[:]
+        areas_ref[0] = areas_prev_ref[0]
+
+    @pl.when(d != 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            m_hbm.at[:, pl.ds(t * hb, hb + 8), :], rows, sem)
+        cp.start()
+        cp.wait()
+        kept = meta_ref[:, 0:1] != 0
+        is_thing = meta_ref[:, 1:2] != 0
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (kp, 1), 0)
+        acc = jnp.zeros((kp, w), jnp.int32)
+        for li in range(hb):
+            for pr, (prev, cent, next_) in enumerate(
+                    _row_phases(rows, li, w)):
+                for pc in range(4):
+                    vals = _col_phase(pc, prev, cent, next_)   # [kp, w]
+                    owner_row = owner_ref[pr, pc, li, :] \
+                        .astype(jnp.int32)[None]               # [1, w]
+                    vals = jnp.where(is_thing & (owner_row != kiota),
+                                     0.0, vals)
+                    vals = jnp.where(kept, vals, _NEG)
+                    mx = jnp.max(vals, axis=0, keepdims=True)
+                    m_id = jnp.min(jnp.where(vals >= mx, kiota, 2 ** 30),
+                                   axis=0, keepdims=True)
+                    mid_ref[pr, pc, li, :] = m_id[0]
+                    acc = acc + (m_id == kiota).astype(jnp.int32)
+        areas_ref[0] = jnp.sum(acc, axis=1, keepdims=True)
+
+
+def repair_v3(m_klow, owner_b, m1_b, kept, is_thing, dirty,
+              areas_tile_prev, hb=8):
+    """One small-area-filter iteration: recompute the masked per-pixel
+    argmax ONLY on row-tiles containing pixels whose current winner was
+    removed (``dirty``), copying every clean tile through.
+
+    Removals only change pixels whose winner was removed (the argmax over
+    a subset still containing its max is unchanged), and removed segments
+    are tiny by definition (area below the filter threshold, reference
+    vps_temporal_slots.py:762-790) — so a production iteration touches
+    ~1-2 of the h/hb tiles and costs one id-map copy instead of a full
+    [K, H, W] argmax recompute.
+
+    m_klow: [K, h, w] f32; owner_b: [4, 4, h, w] int8; m1_b: [4, 4, h, w]
+    int32 current RAW winner map; kept: [K] bool (post-removal);
+    dirty: [T] bool; areas_tile_prev: [T, kp] int32.
+    Returns (m1n_b [4, 4, h, w] int32, areas_tile [T, kp] int32)."""
+    k, h, w = m_klow.shape
+    kp = _round8(k)
+    hb = math.gcd(hb, h)
+    nt = h // hb
+    mp = _pad_khw(m_klow.astype(jnp.float32), kp, extra_rows=6)
+    meta = jnp.stack([
+        jnp.pad(kept.astype(jnp.int32), (0, kp - k)),
+        jnp.pad(is_thing.astype(jnp.int32), (0, kp - k)),
+    ], axis=1)                                        # [kp, 2]
+    m1n, areas = pl.pallas_call(
+        functools.partial(_repair_kernel, hb=hb, w=w, kp=kp),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((kp, 2), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, 4, hb, w), lambda t: (0, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, 4, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((nt, kp, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kp, hb + 8, _round128(w + 2)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(meta, dirty.astype(jnp.int32), mp, owner_b, m1_b,
+      areas_tile_prev[:, :, None])
+    return m1n, areas[:, :, 0]
 
 
 def _sseg_kernel(m_hbm, o_ref, rows, sem, *, hb, w, kp, c):
