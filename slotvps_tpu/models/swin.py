@@ -178,6 +178,45 @@ def _block(p, x, num_heads, window, shift, rel_index, drop=None):
     return x + ffn
 
 
+def _stage_scan(blocks, x, num_heads, window, rel_index, drops=None):
+    """Run an even-depth stage as ``lax.scan`` over [no-shift, shift]
+    block pairs.
+
+    The XLA program then contains ONE pair body instead of ``depth``
+    inlined copies — without this, Swin-L's 18-block stage 2 at
+    1024x2048 makes the compiler run out of memory.  Numerics are
+    identical to the unrolled loop (same op sequence per block); the
+    only graph difference is that per-block params are stacked on a
+    leading scan axis.
+
+    ``drops``: optional ``(keys, rates)`` with shapes [n_pairs, 2, key]
+    and [n_pairs, 2] for train-time stochastic depth.
+    """
+    n_pairs = len(blocks) // 2
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[{"even": blocks[2 * i], "odd": blocks[2 * i + 1]}
+          for i in range(n_pairs)])
+    shift = window // 2
+
+    def body(carry, xs):
+        if drops is None:
+            p = xs
+            d0 = d1 = None
+        else:
+            p, keys, rates = xs
+            d0, d1 = (keys[0], rates[0]), (keys[1], rates[1])
+        carry = _block(p["even"], carry, num_heads, window, 0, rel_index,
+                       drop=d0)
+        carry = _block(p["odd"], carry, num_heads, window, shift,
+                       rel_index, drop=d1)
+        return carry, None
+
+    xs = stacked if drops is None else (stacked,) + drops
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
 def _patch_merge(p, x):
     """[B, H, W, C] -> [B, H/2, W/2, 2C] (reference swin :257-297)."""
     b, h, w, c = x.shape
@@ -214,17 +253,35 @@ def apply_swin(params: Dict, img: jnp.ndarray, cfg: SwinConfig,
     gi = 0
     for si in range(len(cfg.depths)):
         stage = params[f"stage{si}"]
-        for bi, bp in enumerate(stage["blocks"]):
-            # odd blocks always shift — the reference does NOT clamp
-            # shift to 0 on maps smaller than the window (unlike official
-            # Swin): it pads, rolls, and masks (swin_transformer.py:361-404)
-            shift = 0 if bi % 2 == 0 else cfg.window_size // 2
-            drop = None
-            if drop_path_key is not None and dpr[gi] > 0:
-                drop = (block_keys[gi], dpr[gi])
-            x = _block(bp, x, cfg.num_heads[si], cfg.window_size, shift,
-                       rel_index, drop=drop)
-            gi += 1
+        depth = len(stage["blocks"])
+        if depth >= 4 and depth % 2 == 0:
+            # deep stage: scan over block pairs (one body in the XLA
+            # program — see _stage_scan). rate 0 drop-path is identity,
+            # so uniform application inside the scan matches the
+            # per-block `dpr > 0` gating of the unrolled path.
+            drops = None
+            if drop_path_key is not None:
+                keys = block_keys[gi:gi + depth].reshape(
+                    depth // 2, 2, *block_keys.shape[1:])
+                rates = jnp.asarray(
+                    dpr[gi:gi + depth], jnp.float32).reshape(depth // 2, 2)
+                drops = (keys, rates)
+            x = _stage_scan(stage["blocks"], x, cfg.num_heads[si],
+                            cfg.window_size, rel_index, drops=drops)
+            gi += depth
+        else:
+            for bi, bp in enumerate(stage["blocks"]):
+                # odd blocks always shift — the reference does NOT clamp
+                # shift to 0 on maps smaller than the window (unlike
+                # official Swin): it pads, rolls, and masks
+                # (swin_transformer.py:361-404)
+                shift = 0 if bi % 2 == 0 else cfg.window_size // 2
+                drop = None
+                if drop_path_key is not None and dpr[gi] > 0:
+                    drop = (block_keys[gi], dpr[gi])
+                x = _block(bp, x, cfg.num_heads[si], cfg.window_size,
+                           shift, rel_index, drop=drop)
+                gi += 1
         if si in cfg.out_indices:
             outs.append(L.layer_norm(params[f"out_norm{si}"], x))
         if si < len(cfg.depths) - 1:

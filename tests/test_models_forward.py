@@ -67,6 +67,44 @@ def test_swin_backbone_shapes():
         (1, 16, 24, 32), (1, 8, 12, 64), (1, 4, 6, 128), (1, 2, 3, 256)]
 
 
+def test_swin_stage_scan_matches_unrolled(rng):
+    """Deep stages run as lax.scan over block pairs (swin._stage_scan,
+    the fix for the full-res Swin-L compile blow-up); the scan must be
+    numerically identical to the unrolled block sequence the golden
+    conversion test verifies against the reference."""
+    from slotvps_tpu.models import swin as S
+
+    dim, heads, window, depth = 32, 2, 4, 4
+    keys = jax.random.split(jax.random.PRNGKey(7), depth)
+    blocks = [S._init_block(k, dim, heads, window, 4.0, True)
+              for k in keys]
+    rel = S._rel_pos_index(window)
+    # non-multiple-of-window spatial dims to exercise the pad branch
+    x = jnp.asarray(rng.standard_normal((2, 10, 13, dim)), jnp.float32)
+
+    y_ref = x
+    for bi, bp in enumerate(blocks):
+        shift = 0 if bi % 2 == 0 else window // 2
+        y_ref = S._block(bp, y_ref, heads, window, shift, rel)
+    y_scan = S._stage_scan(blocks, x, heads, window, rel)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+
+    # drop-path variant: same per-block keys => same bernoulli draws
+    dkeys = jax.random.split(jax.random.PRNGKey(9), depth)
+    rates = [0.0, 0.1, 0.2, 0.3]
+    y_ref = x
+    for bi, bp in enumerate(blocks):
+        shift = 0 if bi % 2 == 0 else window // 2
+        drop = (dkeys[bi], rates[bi]) if rates[bi] > 0 else None
+        y_ref = S._block(bp, y_ref, heads, window, shift, rel, drop=drop)
+    drops = (dkeys.reshape(depth // 2, 2, *dkeys.shape[1:]),
+             jnp.asarray(rates, jnp.float32).reshape(depth // 2, 2))
+    y_scan = S._stage_scan(blocks, x, heads, window, rel, drops=drops)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_context_block(rng):
     from slotvps_tpu.models.context_block import (
         apply_context_block, init_context_block)
