@@ -130,6 +130,104 @@ def main():
                   f"{(time.perf_counter()-t0)*1e3:.0f} ms "
                   f"loss={lt:.3f}", flush=True)
 
+    if "stages" in sections:
+        # per-stage breakdown of the TUNED full step at bench shapes in
+        # the CALIBRATED detection regime (the BENCH_r04 configuration):
+        # backbone+FPN / DCN tower / decoder / postproc, B videos
+        import dataclasses
+        import functools
+        from slotvps_tpu.config import named_config
+        from slotvps_tpu.models import layers as L
+        from slotvps_tpu.models.detector import (apply_backbone, apply_fpn,
+                                                 decode_pair,
+                                                 extract_features, init_model)
+        from slotvps_tpu.models.semantic_head import apply_semantic_head
+        from slotvps_tpu.models.postprocess import postprocess_frame
+        from slotvps_tpu.utils.calibration import (calibrate_class_head,
+                                                   doctor_params)
+        import os as _os
+        H, W = 1024, 2048
+        Bs = int(_os.environ.get("BENCH_BATCH", "8"))
+        base = named_config(
+            _os.environ.get("PROF_CONFIG", "r50_fpn_slotvps")).model
+        halos = tuple(int(x) for x in _os.environ.get(
+            "BENCH_HALOS", "2,3,4,6").split(","))
+        cfg = dataclasses.replace(
+            base, compute_dtype="bfloat16",
+            semantic_head=dataclasses.replace(
+                base.semantic_head, dcn_impl="pallas", fused_sseg=True,
+                dcn_halo=halos[:base.semantic_head.num_levels]),
+            postprocess=dataclasses.replace(base.postprocess, impl="fused"))
+        params = init_model(jax.random.PRNGKey(0), cfg)
+        params = doctor_params(params, jax.random.PRNGKey(1))
+        img = jnp.asarray(rng.standard_normal((Bs, H, W, 3)), jnp.float32)
+
+        @jax.jit
+        def _probe_logits(params, img1):
+            f = extract_features(params, cfg, img1)
+            return decode_pair(params, cfg, f, f).pred_logits[0]
+
+        params, info = calibrate_class_head(
+            params, _probe_logits(params, img[:1, ::4, ::4]),
+            jax.random.PRNGKey(2), target_valid=int(
+                _os.environ.get("BENCH_TARGET_VALID", "48")),
+            threshold=cfg.postprocess.threshold)
+        print(f"stages: calib scale {info['scale']:.2f} "
+              f"({info['n_valid_probe']} valid on probe), B={Bs}",
+              flush=True)
+
+        @jax.jit
+        def bb(params, img):
+            x = img.astype(jnp.dtype(cfg.compute_dtype))
+            return apply_fpn(params["fpn"], apply_backbone(params, cfg, x),
+                             num_outs=cfg.fpn.num_outs)
+
+        fpn_outs = bb(params, img)
+        dt = timeit(bb, params, img, probe=lambda o: o[0])
+        print(f"stage backbone+fpn: {dt*1e3:.1f} ms ({dt/Bs*1e3:.2f} "
+              "ms/frame)", flush=True)
+
+        @jax.jit
+        def sem(params, fpn_outs):
+            fcn, _, fb = apply_semantic_head(
+                params["semantic_head"],
+                fpn_outs[:cfg.semantic_head.num_levels], cfg.semantic_head)
+            ft = tuple(L.conv2d(params["conv_trans"], f, padding=0)
+                       for f in fb)
+            return fcn, ft
+
+        fcn, ft = sem(params, fpn_outs)
+        dt = timeit(sem, params, fpn_outs, probe=lambda o: o[0])
+        print(f"stage dcn tower (+conv_trans): {dt*1e3:.1f} ms "
+              f"({dt/Bs*1e3:.2f} ms/frame)", flush=True)
+
+        feats = jax.jit(functools.partial(extract_features, cfg=cfg))(
+            params, img=img)
+
+        @jax.jit
+        def dec(params, feats):
+            return decode_pair(params, cfg, feats, feats)
+
+        outs = dec(params, feats)
+        dt = timeit(dec, params, feats, probe=lambda o: o.pred_logits)
+        print(f"stage decoder (pair): {dt*1e3:.1f} ms ({dt/Bs*1e3:.2f} "
+              "ms/frame)", flush=True)
+
+        @jax.jit
+        def post(outs):
+            ps = [postprocess_frame(
+                outs.pred_logits[i], outs.pred_masks[i], outs.embeddings[i],
+                outs.fcn_output[i], (H, W), cfg.postprocess)
+                for i in range(Bs)]
+            return (sum(p.panoptic.sum() + p.sseg.sum() for p in ps),
+                    sum(p.n_kept for p in ps), sum(p.n_things for p in ps))
+
+        chk, nk, nt = post(outs)
+        dt = timeit(post, outs, probe=lambda o: o[0])
+        print(f"stage postproc: {dt*1e3:.1f} ms ({dt/Bs*1e3:.2f} ms/frame) "
+              f"[kept {float(nk)/Bs:.1f}/frame, things "
+              f"{float(nt)/Bs:.1f}/frame]", flush=True)
+
     if "postproc" in sections or "fused" in sections:
         from slotvps_tpu.config import PostprocessConfig
         from slotvps_tpu.models.postprocess import postprocess_frame
