@@ -1,6 +1,6 @@
 """Produce the committed tuned-vs-exact divergence artifact (VERDICT r3
 ask #5): run slotvps_tpu.utils.parity.tuned_vs_exact on the real TPU at
-Cityscapes resolution and write TUNED_VS_EXACT_r04.json with BOTH
+Cityscapes resolution and write TUNED_VS_EXACT_r05.json with BOTH
 regimes:
 
   * ``trained``     — flagship overfit on a synthetic multi-object scene
@@ -21,7 +21,7 @@ import jax
 from slotvps_tpu.utils.parity import tuned_vs_exact
 
 
-def main(out="TUNED_VS_EXACT_r04.json"):
+def main(out="TUNED_VS_EXACT_r05.json"):
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_cache_slotvps")

@@ -42,6 +42,12 @@ class ResNetConfig:
     dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
     gcb_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
     gcb_ratio: float = 1.0 / 16
+    # R52 stem variant (reference resnet.py:421-424 ``turn_into_r52`` +
+    # :472-515 ``_make_stem_layer``): replaces the 7x7/2 stem conv with
+    # three 3x3 convs (3->64 s2, 64->64, 64->128), each BN+ReLU, so
+    # stage 1 sees 128 input channels. Config-off in both shipped
+    # reference configs; provided for inventory parity.
+    r52_stem: bool = False
 
 
 @_frozen

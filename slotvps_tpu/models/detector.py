@@ -67,7 +67,8 @@ def init_model(key, cfg: ModelConfig) -> Dict:
         backbone = resnet.init_resnet(
             ks[0], cfg.resnet.depth, dcn_stages=cfg.resnet.dcn_stages,
             gcb_stages=cfg.resnet.gcb_stages,
-            gcb_ratio=cfg.resnet.gcb_ratio)
+            gcb_ratio=cfg.resnet.gcb_ratio,
+            r52_stem=cfg.resnet.r52_stem)
     elif cfg.backbone == "swin":
         backbone = swin.init_swin(ks[0], cfg.swin)
     else:

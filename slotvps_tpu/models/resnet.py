@@ -71,17 +71,32 @@ def _init_block(key, block, c_in, planes, stride, expansion,
 
 
 def init_resnet(key, depth=50, dcn_stages=None, gcb_stages=None,
-                gcb_ratio=1.0 / 16) -> Dict:
+                gcb_ratio=1.0 / 16, r52_stem=False) -> Dict:
     block, stage_blocks = ARCH_SETTINGS[depth]
     expansion = 4 if block == "bottleneck" else 1
     dcn_stages = dcn_stages or (False,) * len(stage_blocks)
     gcb_stages = gcb_stages or (False,) * len(stage_blocks)
     ks = jax.random.split(key, 1 + len(stage_blocks))
-    params: Dict = {
-        "conv1": L.init_conv(ks[0], 7, 7, 3, 64, bias=False),
-        "bn1": L.init_bn(64),
-    }
-    c_in = 64
+    if r52_stem:
+        # R52 deep stem (reference resnet.py:421-424,472-515
+        # ``turn_into_r52``): 7x7/2 -> three 3x3 convs, stage 1 input
+        # becomes 128 channels
+        sk = jax.random.split(ks[0], 3)
+        params: Dict = {
+            "conv1": L.init_conv(sk[0], 3, 3, 3, 64, bias=False),
+            "bn1": L.init_bn(64),
+            "conv2": L.init_conv(sk[1], 3, 3, 64, 64, bias=False),
+            "bn2": L.init_bn(64),
+            "conv3": L.init_conv(sk[2], 3, 3, 64, 128, bias=False),
+            "bn3": L.init_bn(128),
+        }
+        c_in = 128
+    else:
+        params = {
+            "conv1": L.init_conv(ks[0], 7, 7, 3, 64, bias=False),
+            "bn1": L.init_bn(64),
+        }
+        c_in = 64
     for si, nblocks in enumerate(stage_blocks):
         planes = 64 * 2 ** si
         stride = 1 if si == 0 else 2
@@ -158,8 +173,16 @@ def apply_resnet(
     """x: [B, H, W, 3] -> feature maps at strides 4/8/16/32."""
     block, stage_blocks = ARCH_SETTINGS[depth]
     blk_fn = _bottleneck if block == "bottleneck" else _basic_block
-    x = L.conv2d(params["conv1"], x, stride=2, padding=3)
-    x = L.relu(L.batch_norm_eval(params["bn1"], x))
+    if "conv3" in params:  # R52 deep stem (reference resnet.py:570-576)
+        x = L.conv2d(params["conv1"], x, stride=2, padding=1)
+        x = L.relu(L.batch_norm_eval(params["bn1"], x))
+        x = L.conv2d(params["conv2"], x, padding=1)
+        x = L.relu(L.batch_norm_eval(params["bn2"], x))
+        x = L.conv2d(params["conv3"], x, padding=1)
+        x = L.relu(L.batch_norm_eval(params["bn3"], x))
+    else:
+        x = L.conv2d(params["conv1"], x, stride=2, padding=3)
+        x = L.relu(L.batch_norm_eval(params["bn1"], x))
     x = _max_pool_3x3_s2(x)
     outs = []
     for si in range(len(stage_blocks)):

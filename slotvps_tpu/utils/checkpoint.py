@@ -85,6 +85,13 @@ def convert_torchvision_resnet(sd: Mapping, depth: int = 50) -> Dict:
 
     block, stage_blocks = ARCH_SETTINGS[depth]
     out = {"conv1": _conv(sd, "conv1", bias=False), "bn1": _bn(sd, "bn1")}
+    if "conv3.weight" in sd:
+        # R52 deep stem (reference resnet.py:472-515): top-level
+        # conv2/bn2 + conv3/bn3 exist only in this variant
+        out["conv2"] = _conv(sd, "conv2", bias=False)
+        out["bn2"] = _bn(sd, "bn2")
+        out["conv3"] = _conv(sd, "conv3", bias=False)
+        out["bn3"] = _bn(sd, "bn3")
     n_convs = 3 if block == "bottleneck" else 2
     for si, nb in enumerate(stage_blocks):
         stage = []

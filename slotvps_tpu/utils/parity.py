@@ -130,6 +130,7 @@ def tuned_vs_exact(
     regime: str = "calibrated",
     train_steps: int = 300,
     n_things: int = 12,
+    train_dcn_impl: str = "pallas",
 ) -> Dict:
     """Run the tuned-vs-exact comparison; returns the report dict
     (per-frame metrics + aggregates).
@@ -185,17 +186,20 @@ def tuned_vs_exact(
 
         scene = make_scene(h, w, n_things=n_things, seed=seed)
         batch = scene_train_batch(scene)
-        # train with the Pallas custom-vjp DCN: the XLA-gather DCN
-        # backward materializes ~1 GB gather temps per level at full
+        # train with the Pallas custom-vjp DCN by default: the XLA-gather
+        # DCN backward materializes ~1 GB gather temps per level at full
         # resolution (44 GB > 15.75 GB HBM on one v5e); the col2im
         # one-hot-matmul backward streams them (ops/pallas/
-        # deform_conv.py).  Zero-init offset convs stay well inside the
-        # production halos over an overfit run (measured in the report's
-        # ``max_abs_offset``), so the halo contract is honored and the
-        # trained weights are valid for BOTH inference pipelines.
+        # deform_conv.py).  The CPU live test passes ``train_dcn_impl=
+        # "xla"`` — at reduced resolution the temps are small and XLA is
+        # far faster than Pallas interpret mode.  Zero-init offset convs
+        # stay well inside the production halos over an overfit run
+        # (measured + ASSERTED below against the per-level halos), so the
+        # halo contract is honored and the trained weights are valid for
+        # BOTH inference pipelines.
         train_cfg = dataclasses.replace(
             exact_cfg, semantic_head=dataclasses.replace(
-                exact_cfg.semantic_head, dcn_impl="pallas",
+                exact_cfg.semantic_head, dcn_impl=train_dcn_impl,
                 dcn_halo=halos[:base.semantic_head.num_levels]))
         params = overfit(train_cfg, batch, steps=train_steps,
                          seed=seed, log_every=50)
@@ -203,6 +207,16 @@ def tuned_vs_exact(
         from slotvps_tpu.utils.diagnostics import measure_max_dcn_offset
         max_off = measure_max_dcn_offset(params, exact_cfg,
                                          image=jnp.asarray(frames[0][None]))
+        # the halo contract must hold or the tuned pipeline silently
+        # clamps samples the exact pipeline doesn't — which would corrupt
+        # the representative parity number; fail loudly instead
+        eff = halos[:base.semantic_head.num_levels]
+        for lvl, (off, halo) in enumerate(zip(max_off, eff)):
+            assert float(off) <= halo, (
+                f"trained conv_offset head emits offsets up to "
+                f"{float(off):.2f} px at level P{lvl + 2} but the tuned "
+                f"pipeline's halo is {halo} px — samples would clamp; "
+                f"raise the halo or shorten the overfit run")
         calib = {"scale": 1.0, "n_valid_probe": -1,
                  "max_abs_offset": [round(float(v), 3) for v in max_off]}
     else:
@@ -273,8 +287,7 @@ def tuned_vs_exact(
         "halos": list(halos[:base.semantic_head.num_levels]),
         "regime": regime,
         "train_steps": train_steps if regime == "trained" else 0,
-        "calib": {"scale": calib["scale"],
-                  "n_valid_probe": calib["n_valid_probe"]},
+        "calib": calib,
         "per_frame": per_frame,
         "aggregate": agg,
     }

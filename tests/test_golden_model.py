@@ -256,6 +256,43 @@ def test_position_encoding_parity():
     init_learned_position_embedding(__import__("jax").random.PRNGKey(0))
 
 
+def test_r52_stem_conversion_parity():
+    """Golden forward parity for the R52 deep-stem ResNet variant
+    (reference resnet.py:421-424 ``turn_into_r52`` + :472-515 stem:
+    three 3x3 convs replacing the 7x7, stage 1 fed 128 channels) —
+    config-off in both shipped configs; built for inventory parity."""
+    from slotvps_tpu.models.resnet import apply_resnet, init_resnet
+    from slotvps_tpu.utils.checkpoint import convert_torchvision_resnet
+
+    ref_shim.install()
+    from mmdet.models.backbones.resnet import ResNet
+
+    torch.manual_seed(5)
+    net = ResNet(depth=50, turn_into_r52=True)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = convert_torchvision_resnet(sd, depth=50)
+    assert "conv3" in params and params["conv3"]["w"].shape == (3, 3, 64, 128)
+    # stage 1's first block must consume the 128-ch stem output
+    assert params["layer1"][0]["conv1"]["w"].shape[2] == 128
+
+    # init path produces the same tree shape
+    ini = init_resnet(__import__("jax").random.PRNGKey(0), depth=50,
+                      r52_stem=True)
+    assert ini["conv3"]["w"].shape == (3, 3, 64, 128)
+    assert ini["layer1"][0]["conv1"]["w"].shape[2] == 128
+
+    rng = np.random.default_rng(6)
+    img = _smooth_img(rng, 64, 96)
+    with torch.no_grad():
+        ref_outs = net(_t(img))
+    outs = apply_resnet(params, _j(img), depth=50)
+    assert len(outs) == len(ref_outs) == 4
+    for i, (mine, ref) in enumerate(zip(outs, ref_outs)):
+        _close(np.asarray(mine).transpose(0, 3, 1, 2), ref, 2e-4,
+               f"r52 level {i}")
+
+
 def test_swin_conversion_parity():
     """Golden forward parity for the Swin backbone converter: instantiate
     the reference SwinTransformer (tiny config — same code path as Swin-L),
