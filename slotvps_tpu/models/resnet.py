@@ -121,9 +121,9 @@ def _max_pool_3x3_s2(x):
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def _bottleneck(p, x, stride):
+def _bottleneck(p, x, stride, bn=L.batch_norm_eval):
     out = L.conv2d(p["conv1"], x, padding=0)
-    out = L.relu(L.batch_norm_eval(p["bn1"], out))
+    out = L.relu(bn(p["bn1"], out))
     if "conv2_offset" in p:
         # DCN stage plugin (reference resnet.py:235-244: conv2_offset on
         # the SAME stride as conv2, then deformable conv2)
@@ -134,15 +134,15 @@ def _bottleneck(p, x, stride):
                             padding=1)
     else:
         out = L.conv2d(p["conv2"], out, stride=stride, padding=1)
-    out = L.relu(L.batch_norm_eval(p["bn2"], out))
+    out = L.relu(bn(p["bn2"], out))
     out = L.conv2d(p["conv3"], out, padding=0)
-    out = L.batch_norm_eval(p["bn3"], out)
+    out = bn(p["bn3"], out)
     if "gcb" in p:
         from slotvps_tpu.models.context_block import apply_context_block
 
         out = apply_context_block(p["gcb"], out)
     if "downsample" in p:
-        identity = L.batch_norm_eval(
+        identity = bn(
             p["downsample"]["bn"],
             L.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0))
     else:
@@ -150,13 +150,13 @@ def _bottleneck(p, x, stride):
     return L.relu(out + identity)
 
 
-def _basic_block(p, x, stride):
+def _basic_block(p, x, stride, bn=L.batch_norm_eval):
     out = L.conv2d(p["conv1"], x, stride=stride, padding=1)
-    out = L.relu(L.batch_norm_eval(p["bn1"], out))
+    out = L.relu(bn(p["bn1"], out))
     out = L.conv2d(p["conv2"], out, padding=1)
-    out = L.batch_norm_eval(p["bn2"], out)
+    out = bn(p["bn2"], out)
     if "downsample" in p:
-        identity = L.batch_norm_eval(
+        identity = bn(
             p["downsample"]["bn"],
             L.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0))
     else:
@@ -169,27 +169,102 @@ def apply_resnet(
     x: jnp.ndarray,
     depth: int = 50,
     out_indices: Sequence[int] = (0, 1, 2, 3),
+    bn=L.batch_norm_eval,
 ) -> List[jnp.ndarray]:
-    """x: [B, H, W, 3] -> feature maps at strides 4/8/16/32."""
+    """x: [B, H, W, 3] -> feature maps at strides 4/8/16/32.
+
+    ``bn`` is the BatchNorm application used at every site — the default
+    is frozen running-stats eval BN (the only mode the reference ever
+    runs, norm_eval=True); ``calibrate_bn_stats`` passes a collecting
+    variant."""
     block, stage_blocks = ARCH_SETTINGS[depth]
     blk_fn = _bottleneck if block == "bottleneck" else _basic_block
     if "conv3" in params:  # R52 deep stem (reference resnet.py:570-576)
         x = L.conv2d(params["conv1"], x, stride=2, padding=1)
-        x = L.relu(L.batch_norm_eval(params["bn1"], x))
+        x = L.relu(bn(params["bn1"], x))
         x = L.conv2d(params["conv2"], x, padding=1)
-        x = L.relu(L.batch_norm_eval(params["bn2"], x))
+        x = L.relu(bn(params["bn2"], x))
         x = L.conv2d(params["conv3"], x, padding=1)
-        x = L.relu(L.batch_norm_eval(params["bn3"], x))
+        x = L.relu(bn(params["bn3"], x))
     else:
         x = L.conv2d(params["conv1"], x, stride=2, padding=3)
-        x = L.relu(L.batch_norm_eval(params["bn1"], x))
+        x = L.relu(bn(params["bn1"], x))
     x = _max_pool_3x3_s2(x)
     outs = []
     for si in range(len(stage_blocks)):
         stage = params[f"layer{si + 1}"]
         stride = 1 if si == 0 else 2
         for bi, bp in enumerate(stage):
-            x = blk_fn(bp, x, stride if bi == 0 else 1)
+            x = blk_fn(bp, x, stride if bi == 0 else 1, bn=bn)
         if si in out_indices:
             outs.append(x)
     return outs
+
+
+def _iter_bns(params: Dict, depth: int):
+    """Yield the backbone's BN param dicts in forward call order (must
+    mirror ``apply_resnet``/``_bottleneck``/``_basic_block`` exactly —
+    validated by ``calibrate_bn_stats``'s replay identity check)."""
+    yield params["bn1"]
+    if "conv3" in params:
+        yield params["bn2"]
+        yield params["bn3"]
+    block, stage_blocks = ARCH_SETTINGS[depth]
+    n_bns = 3 if block == "bottleneck" else 2
+    for si in range(len(stage_blocks)):
+        for bp in params[f"layer{si + 1}"]:
+            for ci in range(1, n_bns + 1):
+                yield bp[f"bn{ci}"]
+            if "downsample" in bp:
+                yield bp["downsample"]["bn"]
+
+
+def calibrate_bn_stats(params: Dict, x: jnp.ndarray, depth: int = 50,
+                       eps: float = 1e-5) -> Dict:
+    """Write every backbone BN's running stats from the batch statistics
+    of one forward pass over ``x`` (torch train-mode BN semantics).
+
+    Why: a random-init backbone under frozen identity stats (mean 0,
+    var 1 — ``init_bn``) compounds activation magnitude multiplicatively
+    across its ~50 BN sites; measured ~1e22 on the FPN outputs at
+    flagship depth, which poisons every consumer of raw (pre-GroupNorm)
+    features — notably the semantic tower's DCN offset heads.  A
+    pretrained checkpoint never exhibits this because its running stats
+    normalize each layer; this calibration is the random-init analog,
+    used by the synthetic trained-regime recipe (utils/synthetic.overfit)
+    before training with the reference's norm_eval=True frozen-stat
+    semantics.
+
+    Mutates ``params`` in place (host pytree of plain dicts) and returns
+    it.  Correct stat->site pairing is verified by replay: the frozen
+    eval forward with the written stats must reproduce the collecting
+    forward's outputs exactly.
+    """
+    import jax as _jax
+
+    def collect(params, x):
+        stats = []
+
+        def bn(p, xx):
+            xf = xx.astype(jnp.float32)
+            m = xf.mean(axis=(0, 1, 2))
+            v = xf.var(axis=(0, 1, 2))
+            stats.append((m, v))
+            return L.batch_norm_eval(dict(p, mean=m, var=v), xx, eps=eps)
+
+        outs = apply_resnet(params, x, depth=depth, bn=bn)
+        return stats, outs
+
+    stats, outs = _jax.jit(collect)(params, x)
+    sites = list(_iter_bns(params, depth))
+    assert len(sites) == len(stats), (len(sites), len(stats))
+    for p, (m, v) in zip(sites, stats):
+        p["mean"] = m
+        p["var"] = v
+    # replay identity: mis-paired stats would change the eval forward
+    check = _jax.jit(lambda pr, xx: apply_resnet(pr, xx, depth=depth))(
+        params, x)
+    for a, b in zip(check, outs):
+        ok = bool(jnp.all(jnp.abs(a - b) <= 1e-3 * jnp.abs(b).max()))
+        assert ok, "BN stat calibration replay mismatch (pairing bug)"
+    return params

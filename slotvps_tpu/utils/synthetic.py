@@ -166,12 +166,26 @@ def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
     import functools
 
     import jax
+    import jax.numpy as jnp
     import optax
 
     from slotvps_tpu.models.detector import init_model
     from slotvps_tpu.training.step import train_step, trainable_mask
 
     params = init_model(jax.random.PRNGKey(seed), cfg_model)
+    if cfg_model.backbone == "resnet":
+        # random-init frozen BNs carry identity stats, which compound
+        # activation magnitude ~1e22 across the flagship backbone and
+        # poison the DCN offset heads (raw pre-GN features); calibrate
+        # the running stats from one forward over the training pair —
+        # the random-init analog of a pretrained checkpoint's stats
+        # (models/resnet.calibrate_bn_stats).  Training then proceeds
+        # with the reference's norm_eval=True frozen-stat semantics.
+        from slotvps_tpu.models.resnet import calibrate_bn_stats
+
+        both = jnp.concatenate([batch.ref_img, batch.img], axis=0)
+        calibrate_bn_stats(params["backbone"], both,
+                           depth=cfg_model.resnet.depth)
     opt = optax.masked(
         optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr)),
         trainable_mask(params))

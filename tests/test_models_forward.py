@@ -190,6 +190,35 @@ def test_resnet_stage_plugins_identity_at_init():
                                    rtol=1e-2, atol=1e-2)
 
 
+def test_resnet_bn_stat_calibration():
+    """Random-init frozen BNs (identity stats) compound activation
+    magnitude across the 50-layer backbone (~1e22 at the FPN on the
+    flagship — measured on-chip, round 5); calibrate_bn_stats writes
+    batch statistics into the running buffers (torch train-mode
+    semantics, the random-init analog of pretrained stats) so the eval
+    forward is magnitude-sane.  Pairing correctness is replay-checked
+    inside the function; here we assert the magnitude contract."""
+    from slotvps_tpu.models.resnet import (apply_resnet, calibrate_bn_stats,
+                                           init_resnet)
+
+    params = init_resnet(jax.random.PRNGKey(0), depth=50)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 96, 3)), jnp.float32)
+    before = jax.jit(lambda p, x: apply_resnet(p, x))(params, x)
+    calibrate_bn_stats(params, x, depth=50)
+    after = jax.jit(lambda p, x: apply_resnet(p, x))(params, x)
+    # calibrated stats keep every stage output O(1)-ish
+    for lvl, a in enumerate(after):
+        m = float(jnp.abs(a).max())
+        assert m < 50.0, (lvl, m)
+    # and they genuinely changed the forward (identity stats didn't hold)
+    assert float(jnp.abs(before[-1]).max()) > float(
+        jnp.abs(after[-1]).max())
+    # stats are real moments, not identity
+    v = params["layer4"][-1]["bn3"]["var"]
+    assert float(jnp.abs(v - 1.0).max()) > 1e-3
+
+
 def test_mv_config_builds():
     from slotvps_tpu.config import named_config
 
