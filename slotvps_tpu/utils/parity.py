@@ -201,8 +201,12 @@ def tuned_vs_exact(
             exact_cfg, semantic_head=dataclasses.replace(
                 exact_cfg.semantic_head, dcn_impl=train_dcn_impl,
                 dcn_halo=halos[:base.semantic_head.num_levels]))
+        print(f"# parity: overfitting {train_steps} steps at {h}x{w} "
+              f"(dcn_impl={train_dcn_impl}; first step compiles)",
+              flush=True)
         params = overfit(train_cfg, batch, steps=train_steps,
                          seed=seed, log_every=50)
+        print("# parity: overfit done; measuring DCN offsets", flush=True)
         frames = [f[0] for f in scene_frames(scene, n_frames, shift=16)]
         from slotvps_tpu.utils.diagnostics import measure_max_dcn_offset
         max_off = measure_max_dcn_offset(params, exact_cfg,
@@ -257,6 +261,7 @@ def tuned_vs_exact(
     t_step, t_extract = make_step(tuned_cfg)
 
     img0 = jnp.asarray(frames[0][None])
+    print("# parity: compiling exact + tuned pipelines", flush=True)
     e_feats, t_feats = e_extract(params, img0), t_extract(params, img0)
     per_frame = []
     for t, frame in enumerate(frames):
@@ -266,6 +271,9 @@ def tuned_vs_exact(
         m = compare_results(e_post, t_post)
         m["frame"] = t
         per_frame.append(m)
+        print(f"# parity: frame {t}: pan_matched="
+              f"{m['pan_agreement_matched']:.4f} kept "
+              f"{m['n_kept_exact']}/{m['n_kept_tuned']}", flush=True)
 
     agg = {
         "pan_agreement_matched_min": min(

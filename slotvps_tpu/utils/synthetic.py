@@ -194,7 +194,9 @@ def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
                                      optimizer=opt))
     for i in range(steps):
         params, opt_state, metrics = step(params, opt_state, batch)
-        if log_every and (i + 1) % log_every == 0:
+        if log_every and (i == 0 or (i + 1) % log_every == 0):
+            # step 1 is the compile fence — printing it separates "slow
+            # compile" from "training stalled" when watching a log
             print(f"# overfit step {i + 1}/{steps} "
                   f"loss={float(metrics['loss_total']):.3f}", flush=True)
     return params
