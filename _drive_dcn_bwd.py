@@ -11,8 +11,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slotvps_tpu.config import ModelConfig, ResNetConfig, SlotHeadConfig
 from slotvps_tpu.models.detector import init_model
-from slotvps_tpu.training.step import (make_train_batch, train_step,
-                                       trainable_mask)
+from slotvps_tpu.training.step import (make_optimizer, make_train_batch,
+                                       train_step)
 
 base = ModelConfig(
     resnet=ResNetConfig(depth=18),
@@ -44,9 +44,7 @@ for impl in ["jax", "pallas_f32"]:
     cfg = dataclasses.replace(base, semantic_head=dataclasses.replace(
         base.semantic_head, dcn_impl=impl, dcn_halo=4))
     params = init_model(jax.random.PRNGKey(0), cfg)
-    opt = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(2e-3)),
-        trainable_mask(params))
+    opt = make_optimizer(lr=2e-3, params=params)
     opt_state = opt.init(params)
     step = jax.jit(functools.partial(train_step, cfg=cfg, optimizer=opt))
     with pltpu.force_tpu_interpret_mode():

@@ -29,7 +29,7 @@ from slotvps_tpu.config import named_config
 from slotvps_tpu.models import layers as L
 from slotvps_tpu.models.detector import apply_backbone, init_model
 from slotvps_tpu.models.fpn import apply_fpn
-from slotvps_tpu.training.step import train_step, trainable_mask
+from slotvps_tpu.training.step import make_optimizer, train_step
 from slotvps_tpu.utils.synthetic import (make_scene, norm_img,
                                          scene_train_batch)
 
@@ -53,9 +53,7 @@ def main(h=512, w=1024, steps=300, lr=2e-3):
     both = jnp.concatenate([batch.ref_img, batch.img], axis=0)
     calibrate_bn_stats(params["backbone"], both,
                        depth=train_cfg.resnet.depth)
-    opt = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr)),
-        trainable_mask(params))
+    opt = make_optimizer(lr=lr, params=params)
     opt_state = opt.init(params)
     step = jax.jit(functools.partial(train_step, cfg=train_cfg,
                                      optimizer=opt))

@@ -89,8 +89,8 @@ def main():
         import optax
         from slotvps_tpu.config import named_config
         from slotvps_tpu.models.detector import init_model
-        from slotvps_tpu.training.step import (make_train_batch, train_step,
-                                               trainable_mask)
+        from slotvps_tpu.training.step import (make_optimizer,
+                                               make_train_batch, train_step)
         h, w, g_cap = 800, 1600, 16
         qh, qw = h // 4, w // 4
         img = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
@@ -111,9 +111,7 @@ def main():
             cfg.semantic_head, dcn_impl=impl,
             dcn_halo=4 if impl.startswith("pallas") else 0))
         params = init_model(jax.random.PRNGKey(0), cfg)
-        opt = optax.masked(
-            optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4)),
-            trainable_mask(params))
+        opt = make_optimizer(lr=1e-4, params=params)
         opt_state = opt.init(params)
         step = jax.jit(functools.partial(train_step, cfg=cfg, optimizer=opt),
                        donate_argnums=(0, 1))

@@ -262,7 +262,7 @@ def main(argv=None):
     from slotvps_tpu.models.detector import init_model
     from slotvps_tpu.parallel.mesh import batch_sharding, make_mesh
     from slotvps_tpu.training.step import (
-        TrainBatch, train_step, trainable_mask)
+        TrainBatch, make_optimizer, train_step)
     from slotvps_tpu.utils.profiler import count_params, params_to_string
 
     args = parse_args(argv)
@@ -300,10 +300,7 @@ def main(argv=None):
     print(f"Model Params : {params_to_string(count_params(params))}")
     schedule = lr_schedule(args.lr, steps_per_epoch, args.total_epochs)
 
-    optimizer = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0),
-                    optax.adamw(schedule, weight_decay=1e-4)),
-        trainable_mask(params))
+    optimizer = make_optimizer(lr=schedule, params=params)
     opt_state = optimizer.init(params)
 
     start_it = 0

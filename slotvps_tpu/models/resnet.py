@@ -16,6 +16,8 @@ training step share one code path.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -219,8 +221,31 @@ def _iter_bns(params: Dict, depth: int):
                 yield bp["downsample"]["bn"]
 
 
+@functools.lru_cache(maxsize=None)
+def _bn_stat_collector(depth: int, eps: float):
+    """Jitted (params, x) -> (stats, outs) collecting per-site batch
+    statistics in forward call order.  Cached so per-step recalibration
+    (synthetic.overfit) doesn't retrace every call."""
+    import jax as _jax
+
+    def collect(params, x):
+        stats = []
+
+        def bn(p, xx):
+            xf = xx.astype(jnp.float32)
+            m = xf.mean(axis=(0, 1, 2))
+            v = xf.var(axis=(0, 1, 2))
+            stats.append((m, v))
+            return L.batch_norm_eval(dict(p, mean=m, var=v), xx, eps=eps)
+
+        outs = apply_resnet(params, x, depth=depth, bn=bn)
+        return stats, outs
+
+    return _jax.jit(collect)
+
+
 def calibrate_bn_stats(params: Dict, x: jnp.ndarray, depth: int = 50,
-                       eps: float = 1e-5) -> Dict:
+                       eps: float = 1e-5, check: bool = True) -> Dict:
     """Write every backbone BN's running stats from the batch statistics
     of one forward pass over ``x`` (torch train-mode BN semantics).
 
@@ -242,29 +267,18 @@ def calibrate_bn_stats(params: Dict, x: jnp.ndarray, depth: int = 50,
     """
     import jax as _jax
 
-    def collect(params, x):
-        stats = []
-
-        def bn(p, xx):
-            xf = xx.astype(jnp.float32)
-            m = xf.mean(axis=(0, 1, 2))
-            v = xf.var(axis=(0, 1, 2))
-            stats.append((m, v))
-            return L.batch_norm_eval(dict(p, mean=m, var=v), xx, eps=eps)
-
-        outs = apply_resnet(params, x, depth=depth, bn=bn)
-        return stats, outs
-
-    stats, outs = _jax.jit(collect)(params, x)
+    stats, outs = _bn_stat_collector(depth, eps)(params, x)
     sites = list(_iter_bns(params, depth))
     assert len(sites) == len(stats), (len(sites), len(stats))
     for p, (m, v) in zip(sites, stats):
         p["mean"] = m
         p["var"] = v
+    if not check:
+        return params
     # replay identity: mis-paired stats would change the eval forward
-    check = _jax.jit(lambda pr, xx: apply_resnet(pr, xx, depth=depth))(
+    replay = _jax.jit(lambda pr, xx: apply_resnet(pr, xx, depth=depth))(
         params, x)
-    for a, b in zip(check, outs):
+    for a, b in zip(replay, outs):
         ok = bool(jnp.all(jnp.abs(a - b) <= 1e-3 * jnp.abs(b).max()))
         assert ok, "BN stat calibration replay mismatch (pairing bug)"
     return params

@@ -82,16 +82,29 @@ def trainable_mask(params) -> Dict:
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
+def make_optimizer(lr=1e-4, weight_decay: float = 1e-4,
                    clip_norm: float = 1.0, params=None):
     """AdamW with the reference's settings (r50_fpn_slotvps.py:198-199);
-    pass ``params`` to mask out BN statistics (required for training)."""
+    pass ``params`` to freeze the BN statistics (required for training).
+
+    The freeze needs TWO stages: ``optax.masked`` passes masked-out
+    leaves' updates through UNCHANGED — i.e. the *raw gradient*, not
+    zero — so a lone ``masked(adamw, trainable)`` silently adds raw
+    ``d loss/d var`` to the running stats every step, and one step can
+    push ``var`` negative (forward NaN via ``rsqrt``).  Found round 5:
+    the trained-regime overfit diverged at step 2 on chip and CPU alike
+    while standalone step-1 gradients were clean.  The second
+    ``masked(set_to_zero(), ~trainable)`` stage pins the buffers."""
     opt = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, weight_decay=weight_decay),
     )
     if params is not None:
-        opt = optax.masked(opt, trainable_mask(params))
+        tm = trainable_mask(params)
+        opt = optax.chain(
+            optax.masked(opt, tm),
+            optax.masked(optax.set_to_zero(),
+                         jax.tree.map(lambda b: not b, tm)))
     return opt
 
 

@@ -155,6 +155,109 @@ def scene_train_batch(scene: Scene, shift: int = 16, g_cap: int = 20):
         ref_gt_valid=jnp.asarray(valid), gt_pids=jnp.asarray(pids))
 
 
+_CAP_FREE = ("class_logits", "conv_pred", "reg_module", "track_head")
+
+
+def _norm_cap_fn(params, zero_cap: float = 0.01):
+    """Per-step weight renormalization for the random-init overfit.
+
+    With GroupNorm/LayerNorm after nearly every conv/linear, the loss is
+    scale-invariant to most weights — AdamW's constant-magnitude updates
+    then inflate them ~5-10%/step with nothing pushing back, and the
+    growth compounds across depth into the un-normalized side paths
+    (measured: FPN max 35 -> 2e14 in six steps; the loss-invisible,
+    clamp-saturated DCN offset heads reach 1e20 px).  A pretrained
+    checkpoint sits at a gradient equilibrium and never does this; for
+    the from-scratch synthetic recipe we pin every >=2-D weight to its
+    init Frobenius norm (direction still trains — a trust region), with
+    two exceptions:
+
+    * score/kernel-bearing heads stay free so confidences can saturate
+      (``_CAP_FREE``: class logits, sseg predictor, dynamic-mask kernel
+      generators, track embedder);
+    * zero-init leaves (the DCN offset convs) get a small absolute cap
+      (``zero_cap``) — enough to train real sub-pixel offsets, small
+      enough that offsets stay within the production per-level halos:
+      |offset| <= ||w_off|| * ||x_patch|| ~= zero_cap * rms_fpn *
+      sqrt(9*C) — a step-count-independent hard bound (~1.6 px at P2
+      with the pinned FPN scale), inside the tightest production halo
+      of 2 px.  The towers are level-shared (UPSNet quirk), so the cap
+      cannot be set per level; it is sized for the finest.
+
+    Returns a jitted ``params -> params``."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    flat, treedef = jtu.tree_flatten_with_path(params)
+    caps = []
+    for path, leaf in flat:
+        k = jtu.keystr(path)
+        if leaf.ndim < 2 or any(f in k for f in _CAP_FREE):
+            caps.append(-1.0)  # uncapped sentinel (python float, static)
+        else:
+            n = float(jnp.linalg.norm(leaf))
+            caps.append(n if n > 0.0 else zero_cap)
+    caps = jtu.tree_unflatten(treedef, caps)
+
+    def _cap(w, c):
+        if c < 0.0:  # static python branch — caps are trace-time consts
+            return w
+        n = jnp.linalg.norm(w)
+        return w * jnp.minimum(1.0, c / jnp.maximum(n, 1e-12))
+
+    return jax.jit(lambda p: jax.tree.map(_cap, p, caps))
+
+
+def _fpn_gain_fix(cfg_model, sample):
+    """Per-step FPN output-scale pinning for the random-init overfit.
+
+    Weight-norm caps alone cannot bound the forward gain: training
+    aligns the (capped) conv kernels with their input directions, and an
+    aligned conv amplifies by up to sqrt(fan_in) per layer — measured
+    FPN maxima still reached ~2e3 after 12 capped steps.  Every FPN
+    consumer is scale-invariant (GroupNorm/LayerNorm/frozen-BN right
+    after) EXCEPT the semantic tower's block-0 DCN offset convs, which
+    read the raw FPN output (reference deform_conv_with_offset.py) — so
+    rescaling each level's final output conv (exactly linear in w, b)
+    back to its init RMS on a calibration image is function-preserving
+    where it must be and pins the one scale the offset heads see.
+
+    Returns ``fix(params)`` (in-place); the first call records the init
+    RMS per level."""
+    import jax
+    import jax.numpy as jnp
+
+    from slotvps_tpu.models.detector import apply_backbone
+    from slotvps_tpu.models.fpn import apply_fpn
+
+    state = {}
+
+    @jax.jit
+    def measure(params):
+        feats = apply_backbone(params, cfg_model, sample)
+        outs = apply_fpn(params["fpn"], feats,
+                         num_outs=cfg_model.fpn.num_outs)
+        n = len(params["fpn"]["fpn"])
+        return [jnp.sqrt(jnp.mean(jnp.square(
+            outs[l].astype(jnp.float32)))) for l in range(n)]
+
+    def fix(params):
+        rms = [float(r) for r in measure(params)]
+        if "init" not in state:
+            state["init"] = rms
+            return params
+        for l, (r0, r) in enumerate(zip(state["init"], rms)):
+            g = r0 / max(r, 1e-12)
+            conv = params["fpn"]["fpn"][l]
+            conv["w"] = conv["w"] * g
+            if "b" in conv:
+                conv["b"] = conv["b"] * g
+        return params
+
+    return fix
+
+
 def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
             seed: int = 0, log_every: int = 0) -> Dict:
     """Overfit the model on one TrainBatch; returns trained params.
@@ -167,33 +270,52 @@ def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from slotvps_tpu.models.detector import init_model
-    from slotvps_tpu.training.step import train_step, trainable_mask
+    from slotvps_tpu.training.step import make_optimizer, train_step
 
     params = init_model(jax.random.PRNGKey(seed), cfg_model)
+    recal = None
     if cfg_model.backbone == "resnet":
-        # random-init frozen BNs carry identity stats, which compound
+        # Random-init frozen BNs carry identity stats, which compound
         # activation magnitude ~1e22 across the flagship backbone and
         # poison the DCN offset heads (raw pre-GN features); calibrate
         # the running stats from one forward over the training pair —
         # the random-init analog of a pretrained checkpoint's stats
-        # (models/resnet.calibrate_bn_stats).  Training then proceeds
-        # with the reference's norm_eval=True frozen-stat semantics.
+        # (models/resnet.calibrate_bn_stats).
+        #
+        # Recalibrate EVERY step (torch train-mode running-stats
+        # analog), not just once: with stats frozen at init, the loss is
+        # scale-invariant to the conv weights (GroupNorm downstream), so
+        # AdamW's constant-fraction updates inflate them ~10%/step and
+        # the growth compounds multiplicatively across ~50 layers —
+        # measured FPN magnitudes 35 -> 2e14 in SIX steps, sending the
+        # (loss-invisible, clamp-saturated) DCN offset heads to 1e20 px
+        # while the GN-normalized losses still decrease.  Each train
+        # step itself still sees frozen stats (the reference's
+        # norm_eval=True semantics); the stats track between steps.
         from slotvps_tpu.models.resnet import calibrate_bn_stats
 
         both = jnp.concatenate([batch.ref_img, batch.img], axis=0)
-        calibrate_bn_stats(params["backbone"], both,
-                           depth=cfg_model.resnet.depth)
-    opt = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr)),
-        trainable_mask(params))
+
+        def recal(params, check=False):
+            calibrate_bn_stats(params["backbone"], both,
+                               depth=cfg_model.resnet.depth, check=check)
+
+        recal(params, check=True)
+    opt = make_optimizer(lr=lr, params=params)
     opt_state = opt.init(params)
     step = jax.jit(functools.partial(train_step, cfg=cfg_model,
                                      optimizer=opt))
+    renorm = _norm_cap_fn(params)
+    fpn_fix = _fpn_gain_fix(cfg_model, batch.img)
+    fpn_fix(params)  # record init per-level RMS
     for i in range(steps):
         params, opt_state, metrics = step(params, opt_state, batch)
+        params = renorm(params)
+        if recal is not None:
+            recal(params)
+        fpn_fix(params)
         if log_every and (i == 0 or (i + 1) % log_every == 0):
             # step 1 is the compile fence — printing it separates "slow
             # compile" from "training stalled" when watching a log

@@ -43,8 +43,8 @@ def _train(cfg_model, steps=300):
     import optax
 
     from slotvps_tpu.models.detector import init_model
-    from slotvps_tpu.training.step import (make_train_batch, train_step,
-                                           trainable_mask)
+    from slotvps_tpu.training.step import (make_optimizer, make_train_batch,
+                                           train_step)
 
     params0 = init_model(jax.random.PRNGKey(0), cfg_model)
 
@@ -86,9 +86,7 @@ def _train(cfg_model, steps=300):
         ref_gt_masks=jnp.asarray(ref_masks),
         ref_gt_valid=jnp.asarray(valid), gt_pids=jnp.asarray(pids))
 
-    opt = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(2e-3)),
-        trainable_mask(params0))
+    opt = make_optimizer(lr=2e-3, params=params0)
     opt_state = opt.init(params0)
     step = jax.jit(functools.partial(train_step, cfg=cfg_model,
                                      optimizer=opt))

@@ -233,7 +233,7 @@ def test_overfit_synthetic_clip():
     import optax
 
     from slotvps_tpu.training.step import (
-        make_train_batch, train_step, trainable_mask)
+        make_optimizer, make_train_batch, train_step)
     from slotvps_tpu.models.detector import init_model
 
     cfg = _tiny_model_cfg()
@@ -270,9 +270,7 @@ def test_overfit_synthetic_clip():
         ref_gt_masks=jnp.asarray(ref_masks),
         ref_gt_valid=jnp.asarray(valid), gt_pids=jnp.asarray(pids))
 
-    opt = optax.masked(
-        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(2e-3)),
-        trainable_mask(params))
+    opt = make_optimizer(lr=2e-3, params=params)
     opt_state = opt.init(params)
 
     import functools
@@ -292,6 +290,72 @@ def test_overfit_synthetic_clip():
     # params stayed finite
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(params))
+
+
+def test_bn_stats_frozen_during_training():
+    """Round-5 regression: ``optax.masked`` passes masked-out updates
+    through as the RAW GRADIENT (it does not zero them), so the frozen
+    BN running stats were receiving ``+= d loss/d var`` every step — one
+    step can push ``var`` negative and the next forward NaNs via
+    ``rsqrt`` (exactly how the trained-regime overfit diverged at step 2
+    with clean step-1 gradients).  make_optimizer must pin the buffers
+    bit-exactly and keep every param finite."""
+    import functools
+
+    from slotvps_tpu.models.detector import init_model
+    from slotvps_tpu.models.resnet import calibrate_bn_stats
+    from slotvps_tpu.training.step import (
+        make_optimizer, make_train_batch, train_step)
+
+    cfg = _tiny_model_cfg()
+    params = init_model(jax.random.PRNGKey(0), cfg)
+
+    h, w, g = 32, 64, 4
+    img, gt = _synthetic_frame(h, w)
+    mean = np.asarray((123.675, 116.28, 103.53), np.float32)
+    std = np.asarray((58.395, 57.12, 57.375), np.float32)
+    nimg = jnp.asarray(
+        ((img[..., ::-1].astype(np.float32) - mean) / std)[None])
+    # calibrated (small-variance) stats are the regime that exposed the
+    # bug: identity stats survive a few corrupt updates by luck
+    calibrate_bn_stats(params["backbone"],
+                       jnp.concatenate([nimg, nimg], axis=0),
+                       depth=cfg.resnet.depth)
+
+    qh, qw = h // 4, w // 4
+    gt_masks = np.zeros((1, g, qh, qw), np.float32)
+    for i, m in enumerate(gt.masks):
+        gt_masks[0, i] = m[::4, ::4]
+    labels = np.zeros((1, g), np.int32)
+    labels[0, :2] = [11, 12]
+    valid = np.zeros((1, g), bool)
+    valid[0, :2] = True
+    batch = make_train_batch(
+        img=nimg, ref_img=nimg, gt_labels=jnp.asarray(labels),
+        gt_masks=jnp.asarray(gt_masks), gt_valid=jnp.asarray(valid),
+        gt_semantic=jnp.asarray(gt.semantic[::4, ::4].astype(np.int32)[None]))
+
+    stats0 = {k: np.asarray(v)
+              for k, v in _bn_stat_leaves(params["backbone"])}
+    opt = make_optimizer(lr=2e-3, params=params)
+    opt_state = opt.init(params)
+    step = jax.jit(functools.partial(train_step, cfg=cfg, optimizer=opt))
+    for it in range(3):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        assert np.isfinite(float(metrics["loss_total"])), (it, metrics)
+    for k, v in _bn_stat_leaves(params["backbone"]):
+        np.testing.assert_array_equal(np.asarray(v), stats0[k], err_msg=k)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(params))
+
+
+def _bn_stat_leaves(tree):
+    import jax.tree_util as jtu
+
+    for path, leaf in jtu.tree_flatten_with_path(tree)[0]:
+        name = getattr(path[-1], "key", None)
+        if name in ("mean", "var"):
+            yield jtu.keystr(path), leaf
 
 
 def test_photometric_distortion_smoke():

@@ -89,11 +89,43 @@ def test_tuned_vs_exact_live():
     _check_adversarial(report)
 
 
+@pytest.mark.slow
+def test_tuned_vs_exact_live_trained():
+    """Live coverage of the TRAINED regime (the representative parity
+    path) so regressions there can't hide behind the committed artifact
+    (ADVICE r4): a short overfit at reduced resolution, checked with
+    bounds relaxed for the shorter schedule / smaller scene (scores sit
+    closer to the threshold than a full 300-step 1024x2048 run)."""
+    from slotvps_tpu.utils.parity import tuned_vs_exact
+
+    if ON_TPU:
+        report = tuned_vs_exact(h=1024, w=2048, n_frames=2,
+                                regime="trained")
+        _check_trained(report)
+        return
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        report = tuned_vs_exact(h=256, w=512, n_frames=2,
+                                regime="trained", train_steps=150,
+                                n_things=6, train_dcn_impl="xla")
+    agg = report["aggregate"]
+    assert agg["pan_agreement_matched_min"] >= 0.90, agg
+    assert agg["sseg_agreement_min"] >= 0.97, agg
+    assert agg["max_score_drift"] <= 0.10, agg
+    # the regime is real: things + stuff detected every frame
+    assert agg["n_kept_exact_total"] >= 4 * report["n_frames"], agg
+
+
 def test_committed_onchip_artifact():
     path = os.path.join(os.path.dirname(__file__), os.pardir,
-                        "TUNED_VS_EXACT_r04.json")
+                        "TUNED_VS_EXACT_r05.json")
     if not os.path.exists(path):
-        pytest.skip("on-chip artifact not yet produced this round")
+        pytest.fail(
+            "TUNED_VS_EXACT_r05.json is not committed — run `python "
+            "_tuned_vs_exact.py` on the TPU; the trained-regime bounds "
+            "are the production parity number and must be asserted "
+            "against an on-chip artifact (VERDICT r4 ask #1)")
     with open(path) as fh:
         report = json.load(fh)
     for regime, check in (("trained", _check_trained),
