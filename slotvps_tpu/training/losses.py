@@ -70,13 +70,29 @@ def pq_loss(
     maskid_weight: float = 0.3,
     alpha: float = 0.75,
     temp: float = 0.3,
+    fixed_match: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """MaX-DeepLab-style PQ loss for one frame."""
+    """MaX-DeepLab-style PQ loss for one frame.
+
+    ``fixed_match=True`` pins the assignment to slot i <-> GT i instead
+    of re-running Hungarian each step.  For single-batch overfitting
+    (utils/synthetic.overfit) this is essential: with near-symmetric
+    slots the per-step Hungarian assignment churns, every slot receives
+    the same churn-averaged target, and a collapsed decoder (all slots
+    bit-identical) is a perfectly fittable optimum — measured as all 100
+    slots predicting no-object at one shared score.  A fixed assignment
+    makes collapse strictly suboptimal, so the gradient must break slot
+    symmetry.  Real multi-scene training keeps the reference's
+    matched-on-similarity semantics (default False)."""
     num_classes = pred_logits.shape[-1]
     class_probs = jax.nn.softmax(pred_logits, axis=-1)
     dice = dice_similarity(mask_logits, gt_masks)
-    slot_idx, valid = match_slots(class_probs, dice, gt_labels, gt_valid,
-                                  temp)
+    if fixed_match:
+        slot_idx = jnp.arange(gt_labels.shape[0], dtype=jnp.int32)
+        valid = gt_valid
+    else:
+        slot_idx, valid = match_slots(class_probs, dice, gt_labels,
+                                      gt_valid, temp)
 
     n_gt = jnp.maximum(valid.sum(), 1)
     # positive term: maximize p_class * dice for matched pairs
@@ -113,11 +129,13 @@ def pq_loss(
 
 
 def pq_loss_with_match(pred_logits, mask_logits, gt_labels, gt_masks,
-                       gt_valid, **kw):
+                       gt_valid, fixed_match: bool = False, **kw):
     """pq_loss that also returns the GT->slot assignment (for the track
     head's match loss)."""
     losses = pq_loss(pred_logits, mask_logits, gt_labels, gt_masks,
-                     gt_valid, **kw)
+                     gt_valid, fixed_match=fixed_match, **kw)
+    if fixed_match:
+        return losses, jnp.arange(gt_labels.shape[0], dtype=jnp.int32)
     class_probs = jax.nn.softmax(pred_logits, axis=-1)
     dice = dice_similarity(mask_logits, gt_masks)
     slot_idx, _ = match_slots(class_probs, dice, gt_labels, gt_valid)

@@ -109,7 +109,8 @@ def make_optimizer(lr=1e-4, weight_decay: float = 1e-4,
 
 
 def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
-            loss_pano_weight: float = 0.5) -> Tuple[jnp.ndarray, Dict]:
+            loss_pano_weight: float = 0.5,
+            fixed_match: bool = False) -> Tuple[jnp.ndarray, Dict]:
     # forward both frames jointly (same path as inference)
     both = jnp.concatenate([batch.ref_img, batch.img], axis=0)
     feats = apply_backbone(params, cfg, both)
@@ -134,7 +135,9 @@ def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
     outs, aux, extras = decode_pair_train(params, cfg, ref_feats, cur_feats)
     ref_outs = extras["ref"]
 
-    per_frame = jax.vmap(pq_loss_with_match, in_axes=(0, 0, 0, 0, 0))
+    per_frame = jax.vmap(
+        functools.partial(pq_loss_with_match, fixed_match=fixed_match),
+        in_axes=(0, 0, 0, 0, 0))
     losses, slot_idx = per_frame(outs.pred_logits, outs.pred_masks,
                                  batch.gt_labels, batch.gt_masks,
                                  batch.gt_valid)
@@ -149,7 +152,9 @@ def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
     # return_intermediate=True, dynamic_mask_head.py:205-211)
     aux_total = 0.0
     for a_logits, a_masks in aux:
-        a_losses = jax.vmap(pq_loss, in_axes=(0, 0, 0, 0, 0))(
+        a_losses = jax.vmap(
+            functools.partial(pq_loss, fixed_match=fixed_match),
+            in_axes=(0, 0, 0, 0, 0))(
             a_logits, a_masks, batch.gt_labels, batch.gt_masks,
             batch.gt_valid)
         aux_total = aux_total + sum(v.mean() for v in a_losses.values())
@@ -173,9 +178,11 @@ def loss_fn(params: Dict, cfg: ModelConfig, batch: TrainBatch,
 
 
 def train_step(params: Dict, opt_state, batch: TrainBatch,
-               cfg: ModelConfig, optimizer) -> Tuple[Dict, object, Dict]:
+               cfg: ModelConfig, optimizer,
+               fixed_match: bool = False) -> Tuple[Dict, object, Dict]:
     (_, metrics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(params, cfg, batch)
+        loss_fn, has_aux=True)(params, cfg, batch,
+                               fixed_match=fixed_match)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, metrics

@@ -155,10 +155,17 @@ def scene_train_batch(scene: Scene, shift: int = 16, g_cap: int = 20):
         ref_gt_valid=jnp.asarray(valid), gt_pids=jnp.asarray(pids))
 
 
-_CAP_FREE = ("class_logits", "conv_pred", "reg_module", "track_head")
+_CAP_FREE = ("class_logits", "conv_pred", "reg_module", "track_head",
+             # the whole slot decoder: LayerNorm-wrapped throughout, so
+             # scale growth is function-invisible AND feeds no
+             # un-normalized consumer (unlike FPN -> offset convs);
+             # capping it starves per-slot class discrimination — all
+             # 100 slots converged to one bias-driven 0.765 score.
+             # conv_trans stays capped (feeds frozen-stat feat_bn).
+             "slot_head']['stages")
 
 
-def _norm_cap_fn(params, zero_cap: float = 0.01):
+def _norm_cap_fn(params, zero_cap: float = 0.007):
     """Per-step weight renormalization for the random-init overfit.
 
     With GroupNorm/LayerNorm after nearly every conv/linear, the loss is
@@ -179,7 +186,8 @@ def _norm_cap_fn(params, zero_cap: float = 0.01):
       (``zero_cap``) — enough to train real sub-pixel offsets, small
       enough that offsets stay within the production per-level halos:
       |offset| <= ||w_off|| * ||x_patch|| ~= zero_cap * rms_fpn *
-      sqrt(9*C) — a step-count-independent hard bound (~1.6 px at P2
+      sqrt(9*C) — a step-count-independent hard bound (measured 2.04 px
+      at P2 with cap 0.01; 0.007 leaves ~30% margin
       with the pinned FPN scale), inside the tightest production halo
       of 2 px.  The towers are level-shared (UPSNet quirk), so the cap
       cannot be set per level; it is sized for the finest.
@@ -258,8 +266,50 @@ def _fpn_gain_fix(cfg_model, sample):
     return fix
 
 
+def _grouped_optimizer(params, lr: float, head_lr_mult: float,
+                       decay_steps: int = 0):
+    """make_optimizer split into two disjoint lr groups: the norm-capped
+    trunk at ``lr`` and the ``_CAP_FREE`` score/kernel heads at
+    ``head_lr_mult * lr``.  The caps pin trunk magnitudes, which also
+    slows organic logit growth (the focal-prior class bias starts at
+    -4.59 and the LN-normalized head inputs are O(1)), so the free heads
+    need a faster schedule to saturate scores within a few hundred
+    steps — standard per-group lr, applied only to this synthetic
+    recipe (real training uses training.step.make_optimizer)."""
+    import jax
+    import jax.tree_util as jtu
+    import optax
+
+    from slotvps_tpu.training.step import trainable_mask
+
+    tm = trainable_mask(params)
+    flat, treedef = jtu.tree_flatten_with_path(tm)
+    head = jtu.tree_unflatten(treedef, [
+        t and any(f in jtu.keystr(p) for f in _CAP_FREE)
+        for p, t in flat])
+    trunk = jax.tree.map(lambda t, h: t and not h, tm, head)
+    frozen = jax.tree.map(lambda t: not t, tm)
+
+    def adamw(group_lr):
+        if decay_steps:
+            # cosine decay to 5%: the capped fixed-match overfit settles
+            # into a collapse<->differentiation limit cycle at constant
+            # lr (measured slot_std 0.0003 at step 140, 0.033 at 180);
+            # decaying lr damps the cycle so the end state is stable
+            group_lr = optax.cosine_decay_schedule(group_lr, decay_steps,
+                                                   alpha=0.05)
+        return optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adamw(group_lr, weight_decay=1e-4))
+
+    return optax.chain(
+        optax.masked(adamw(lr), trunk),
+        optax.masked(adamw(lr * head_lr_mult), head),
+        optax.masked(optax.set_to_zero(), frozen))
+
+
 def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
-            seed: int = 0, log_every: int = 0) -> Dict:
+            seed: int = 0, log_every: int = 0,
+            head_lr_mult: float = 1.0, query_scale: float = 1.0) -> Dict:
     """Overfit the model on one TrainBatch; returns trained params.
 
     ~300 steps pushes matched slots' class scores past the production
@@ -272,10 +322,21 @@ def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
     import jax.numpy as jnp
 
     from slotvps_tpu.models.detector import init_model
-    from slotvps_tpu.training.step import make_optimizer, train_step
+    from slotvps_tpu.training.step import train_step
 
     params = init_model(jax.random.PRNGKey(seed), cfg_model)
     recal = None
+    if query_scale != 1.0:
+        # Symmetry breaking: with magnitude-stabilized (calibrated/
+        # capped) features the initial per-slot retrieval contrast is
+        # tiny, Hungarian matching churns across near-identical slots,
+        # every slot receives the same averaged target, and the decoder
+        # collapses to one bit-identical slot (measured: all 100 slots
+        # at score 0.705/class bg after 80 steps).  Scaling the learned
+        # init queries sharpens the initial retrieval so slots lock onto
+        # distinct regions and matching stabilizes — the synthetic
+        # analog of a pretrained checkpoint's differentiated queries.
+        params["init_mask_query"] = params["init_mask_query"] * query_scale
     if cfg_model.backbone == "resnet":
         # Random-init frozen BNs carry identity stats, which compound
         # activation magnitude ~1e22 across the flagship backbone and
@@ -303,22 +364,51 @@ def overfit(cfg_model, batch, steps: int = 300, lr: float = 2e-3,
                                depth=cfg_model.resnet.depth, check=check)
 
         recal(params, check=True)
-    opt = make_optimizer(lr=lr, params=params)
+    opt = _grouped_optimizer(params, lr, head_lr_mult, decay_steps=steps)
     opt_state = opt.init(params)
     step = jax.jit(functools.partial(train_step, cfg=cfg_model,
-                                     optimizer=opt))
+                                     optimizer=opt, fixed_match=True))
     renorm = _norm_cap_fn(params)
     fpn_fix = _fpn_gain_fix(cfg_model, batch.img)
     fpn_fix(params)  # record init per-level RMS
+
+    # Best-checkpoint selection: even with lr decay the run passes
+    # through differentiated and (partially) collapsed phases; keep the
+    # params whose decoded slots best look like a production checkpoint
+    # (many slots confidently (>0.85) predicting non-background classes,
+    # high across-slot score spread).  Holding pytree refs is free —
+    # arrays are immutable.
+    from slotvps_tpu.models.detector import decode_pair, extract_features
+
+    g_valid = int(np.asarray(batch.gt_valid).sum())
+
+    @jax.jit
+    def _sat_probe(p):
+        f = extract_features(p, cfg_model, batch.img)
+        o = decode_pair(p, cfg_model, f, f)
+        sc = jax.nn.softmax(o.pred_logits[0].astype(jnp.float32), -1)
+        smax = sc[:, :-1].max(-1)  # exclude the no-object class
+        return (smax > 0.85).sum(), sc.std(axis=0).mean()
+
+    best_score, best_params = -1.0, None
     for i in range(steps):
         params, opt_state, metrics = step(params, opt_state, batch)
         params = renorm(params)
         if recal is not None:
             recal(params)
         fpn_fix(params)
+        if (i + 1) % 20 == 0 and (i + 1) >= min(100, steps):
+            n_conf, std = _sat_probe(params)
+            score = float(jnp.minimum(n_conf, g_valid)) + float(std)
+            if score > best_score:
+                best_score, best_params = score, params
+                if log_every:
+                    print(f"# overfit best @ step {i + 1}: "
+                          f"{int(n_conf)} confident slots, "
+                          f"slot-std {float(std):.4f}", flush=True)
         if log_every and (i == 0 or (i + 1) % log_every == 0):
             # step 1 is the compile fence — printing it separates "slow
             # compile" from "training stalled" when watching a log
             print(f"# overfit step {i + 1}/{steps} "
                   f"loss={float(metrics['loss_total']):.3f}", flush=True)
-    return params
+    return best_params if best_params is not None else params
