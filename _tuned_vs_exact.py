@@ -21,7 +21,9 @@ import jax
 from slotvps_tpu.utils.parity import tuned_vs_exact
 
 
-def main(out="TUNED_VS_EXACT_r05.json"):
+def main(out="TUNED_VS_EXACT_r05.json", regimes="trained,calibrated"):
+    """Pass a regime subset as arg 2 (e.g. ``trained``) to regenerate
+    only that section, merging into an existing ``out`` file."""
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_cache_slotvps")
@@ -29,12 +31,20 @@ def main(out="TUNED_VS_EXACT_r05.json"):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    report = {"backend": jax.default_backend(),
-              "device": str(jax.devices()[0])}
-    for regime in ("trained", "calibrated"):
+    import os
+
+    report = {}
+    if os.path.exists(out):
+        with open(out) as fh:
+            report = json.load(fh)
+    report.update({"backend": jax.default_backend(),
+                   "device": str(jax.devices()[0])})
+    steps = int(os.environ.get("TVE_TRAIN_STEPS", "300"))
+    for regime in regimes.split(","):
         print(f"# === regime: {regime} ===", flush=True)
+        kw = {"train_steps": steps} if regime == "trained" else {}
         report[regime] = tuned_vs_exact(h=1024, w=2048, n_frames=4,
-                                        regime=regime)
+                                        regime=regime, **kw)
         print(json.dumps(report[regime]["aggregate"], indent=1),
               flush=True)
     with open(out, "w") as fh:
